@@ -1,0 +1,340 @@
+"""Mapping driver: fragments -> L1/L2 -> merge/filter/scaffold -> PAF.
+
+Equivalent of skch::Map (reference: src/map/include/computeMap.hpp:60-1175):
+
+* targets split into <= index_by_size-bp subsets, indexed and mapped
+  serially (computeMap.hpp:295-327, 396-776) — on TPU pods these subsets
+  become index shards mapped in parallel (wfmash_tpu.parallel);
+* each query is cut into windowLength fragments (+ one tail fragment
+  anchored at the end when the length is not a multiple;
+  computeMap.hpp:560-631);
+* per fragment: sketch -> L1 candidates (per target group, hypergeometric
+  two-pass) -> L2 -> identity gate (computeMap.hpp:879-1061);
+* per query: boundary clamp, union-find chain merge, weak/plane-sweep/
+  length/sparsify/scaffold filters (filterSubsetMappings,
+  computeMap.hpp:1076-1165);
+* output: PAF rows (mappingOutput.hpp:74-138), optionally buffered for the
+  ONETOONE reference-axis sweep (computeMap.hpp:789-866).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fasta import FastaReader
+from ..io.seqids import SequenceIdManager
+from ..params import (
+    FILTER_MAP,
+    FILTER_ONETOONE,
+    MapParams,
+    STRAND_REV,
+    fixed,
+)
+from ..sketch.minhash import sketch_fragment
+from . import stats
+from .chain import CHAIN_DTYPE, merge_mappings_with_chains, scale_complexity, scale_identity
+from .filters import (
+    boundary_sanity_check,
+    filter_by_scaffolds,
+    filter_false_high_identity,
+    filter_weak_mappings,
+    sparsify_mappings,
+)
+from .l1l2 import (
+    FLAG_REV,
+    L1Candidate,
+    MAPPING_DTYPE,
+    compute_l1_candidate_regions,
+    compute_l2_mapped_regions,
+    get_seed_interval_points,
+)
+from .sweep import filter_by_group
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+@dataclass
+class QueryResult:
+    query_name: str
+    query_len: int
+    mappings: np.ndarray      # MAPPING_DTYPE
+    chain_info: np.ndarray    # CHAIN_DTYPE
+
+
+class Mapper:
+    def __init__(self, params: MapParams, id_manager: SequenceIdManager):
+        self.params = params
+        self.idm = id_manager
+        self._group_arr = np.asarray(id_manager.group_ids, dtype=np.int64)
+        self._len_arr = np.asarray(id_manager.lengths, dtype=np.int64)
+
+        if params.stage1_topANI_filter:
+            self.sketch_cutoffs = stats.compute_sketch_cutoffs(
+                params.sketch_size,
+                params.kmer_size,
+                params.ANIDiff,
+                params.ANIDiffConf,
+                fixed.ss_table_max,
+            )
+        else:
+            self.sketch_cutoffs = np.ones(
+                int(min(params.sketch_size, fixed.ss_table_max)) + 1, dtype=np.int32
+            )
+        self.cached_minimum_hits = max(
+            params.minimum_hits,
+            stats.estimate_minimum_hits_relaxed(
+                params.sketch_size,
+                params.kmer_size,
+                params.percentage_identity,
+                fixed.confidence_interval,
+            ),
+        )
+
+    # -- helpers -------------------------------------------------------------
+    def group_of(self, seq_ids):
+        return self._group_arr[np.asarray(seq_ids, dtype=np.int64)]
+
+    def seq_len_of(self, seq_id: int) -> int:
+        return int(self._len_arr[seq_id])
+
+    # -- per-fragment --------------------------------------------------------
+    def map_fragment(self, frag_seq, frag_index: int, query_seq_id: int,
+                     query_group: int, index) -> list[tuple]:
+        """Returns raw mapping tuples for one fragment."""
+        p = self.params
+        q_len = len(frag_seq)
+        sketch = sketch_fragment(frag_seq, p.kmer_size, p.sketch_size)
+        if sketch.sketch_size == 0 or sketch.kmer_complexity < p.kmer_complexity_threshold:
+            return []
+
+        pts = get_seed_interval_points(
+            sketch, index, query_seq_id, query_group, self.group_of, p
+        )
+        if len(pts) == 0:
+            return []
+
+        if q_len == p.window_length:
+            minimum_hits = self.cached_minimum_hits
+        else:
+            minimum_hits = max(
+                p.minimum_hits,
+                stats.estimate_minimum_hits_relaxed(
+                    sketch.sketch_size, p.kmer_size, p.percentage_identity,
+                    fixed.confidence_interval,
+                ),
+            )
+
+        # L1 per target-group subrange (computeMap.hpp:963-982)
+        l1: list[L1Candidate] = []
+        groups = self.group_of(pts["seq_id"])
+        i = 0
+        n = len(pts)
+        while i < n:
+            j = i + 1
+            if p.skip_prefix:
+                while j < n and groups[j] == groups[i]:
+                    j += 1
+            else:
+                j = n
+            compute_l1_candidate_regions(
+                sketch.sketch_size, q_len, pts[i:j], minimum_hits, p,
+                self.sketch_cutoffs, l1,
+            )
+            i = j
+        if not l1:
+            return []
+
+        # L2 per group run over l1, candidates in intersection-desc order
+        # (computeMap.hpp:895-918, 988-1060)
+        out = []
+        b = 0
+        nl1 = len(l1)
+        while b < nl1:
+            e = b + 1
+            if p.skip_prefix:
+                g = self.group_of([l1[b].seq_id])[0]
+                while e < nl1 and self.group_of([l1[e].seq_id])[0] == g:
+                    e += 1
+            else:
+                e = nl1
+            group_cands = l1[b:e]
+            if p.stage1_topANI_filter:
+                group_cands = sorted(
+                    group_cands, key=lambda c: -c.intersection_size
+                )
+            for cand in group_cands:
+                if p.stage1_topANI_filter:
+                    jaccard_sim = index.hg_numerator / sketch.sketch_size
+                    mash_dist = stats.j2md(jaccard_sim, p.kmer_size)
+                    cutoff_ani = max(0.0, (1.0 - mash_dist) - p.ANIDiff)
+                    cutoff_j = stats.md2j(1.0 - cutoff_ani, p.kmer_size)
+                    if cand.intersection_size / sketch.sketch_size < cutoff_j:
+                        break
+                l2s = compute_l2_mapped_regions(sketch, q_len, cand, index, p)
+                for l2 in l2s:
+                    mash_dist = stats.j2md(
+                        float(np.float32(1.0 * l2.shared_sketch_size / sketch.sketch_size)),
+                        p.kmer_size,
+                    )
+                    nuc_identity = float(np.float32(1.0 - float(np.float32(mash_dist))))
+                    nuc_id_ub = float(
+                        np.float32(
+                            1.0
+                            - float(
+                                np.float32(
+                                    stats.md_lower_bound(
+                                        mash_dist, sketch.sketch_size, p.kmer_size,
+                                        fixed.confidence_interval,
+                                    )
+                                )
+                            )
+                        )
+                    )
+                    if (
+                        p.keep_low_pct_id
+                        and np.float32(nuc_id_ub) >= np.float32(p.percentage_identity)
+                    ) or np.float32(nuc_identity) >= np.float32(p.percentage_identity):
+                        flags = FLAG_REV if l2.strand == STRAND_REV else 0
+                        out.append(
+                            (
+                                l2.seq_id,
+                                l2.mean_optimal_pos,
+                                frag_index * p.window_length,  # query start
+                                q_len,
+                                1,
+                                l2.shared_sketch_size,
+                                scale_identity(nuc_identity),
+                                flags,
+                                scale_complexity(sketch.kmer_complexity),
+                            )
+                        )
+            b = e
+        return out
+
+    # -- per-query -----------------------------------------------------------
+    def map_query(self, query_name: str, seq: bytes, index) -> QueryResult:
+        p = self.params
+        seq_id = self.idm.get_sequence_id(query_name)
+        group = int(self.group_of([seq_id])[0])
+        qlen = len(seq)
+
+        raw: list[tuple] = []
+        n_frag = qlen // p.window_length
+        for i in range(n_frag):
+            frag = seq[i * p.window_length : (i + 1) * p.window_length]
+            raw.extend(self.map_fragment(frag, i, seq_id, group, index))
+        if n_frag >= 1 and qlen % p.window_length != 0:
+            frag = seq[qlen - p.window_length :]
+            raw.extend(self.map_fragment(frag, n_frag, seq_id, group, index))
+
+        mappings = (
+            np.array(raw, dtype=MAPPING_DTYPE) if raw else np.empty(0, MAPPING_DTYPE)
+        )
+        # per-fragment results arrive in fragment order; the reference sorts
+        # each fragment's l2Mappings by (refSeqId, refStartPos)
+        # (computeMap.hpp:920) — our fragment loop emits per-candidate order,
+        # so sort within fragment runs
+        mappings = self._sort_within_fragments(mappings)
+
+        boundary_sanity_check(mappings, qlen, self.seq_len_of)
+        mappings, chain_info = self.filter_subset_mappings(mappings, seq_id, qlen)
+        return QueryResult(query_name, qlen, mappings, chain_info)
+
+    def _sort_within_fragments(self, m: np.ndarray) -> np.ndarray:
+        if len(m) < 2:
+            return m
+        order = np.lexsort((m["ref_start"], m["ref_seq_id"], m["query_start"]))
+        return m[order]
+
+    # -- filterSubsetMappings (computeMap.hpp:1076-1165) ----------------------
+    def filter_subset_mappings(self, mappings: np.ndarray, query_seq_id: int,
+                               query_len: int, scaffold_writer=None):
+        p = self.params
+        if len(mappings) == 0:
+            return mappings, np.empty(0, CHAIN_DTYPE)
+
+        raw = mappings.copy()
+        merged, chain_info = merge_mappings_with_chains(mappings, p.chain_gap, p)
+
+        if p.merge_mappings and p.split:
+            keep = filter_weak_mappings(
+                merged,
+                math.floor(p.block_length / p.window_length),
+                p,
+                self.seq_len_of,
+                query_len,
+            )
+            merged, chain_info = merged[keep], chain_info[keep]
+
+            if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
+                merged = filter_by_group(
+                    merged, p.num_mappings_for_segment - 1, False,
+                    self.group_of, self.seq_len_of, p,
+                )
+                chain_info = self._rebuild_chain_info(chain_info, merged)
+
+            if p.filter_length_mismatches:
+                keep = filter_false_high_identity(merged, p)
+                merged, chain_info = merged[keep], chain_info[keep]
+
+            keep = sparsify_mappings(merged, p)
+            merged, chain_info = merged[keep], chain_info[keep]
+
+            survived = filter_by_scaffolds(
+                merged, p, self.group_of, self.seq_len_of, scaffold_writer
+            )
+            chain_info = self._rebuild_chain_info(chain_info, survived, merged)
+            merged = survived
+            return merged, chain_info
+        else:
+            out = mappings
+            if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
+                out = filter_by_group(
+                    out, p.num_mappings_for_segment - 1, False,
+                    self.group_of, self.seq_len_of, p,
+                )
+            out = filter_by_scaffolds(
+                out, p, self.group_of, self.seq_len_of, scaffold_writer
+            )
+            chain_info = np.zeros(len(out), dtype=CHAIN_DTYPE)
+            chain_info["chain_id"] = np.arange(len(out))
+            chain_info["chain_pos"] = 1
+            chain_info["chain_len"] = 1
+            return out, chain_info
+
+    def _rebuild_chain_info(self, chain_info: np.ndarray, subset: np.ndarray,
+                            superset: np.ndarray | None = None) -> np.ndarray:
+        """Re-associate chain info rows after a filter that reordered or
+        subset the mappings. Rows are matched by full record equality (the
+        reference keeps chainInfo parallel through moves; our array filters
+        need an explicit re-match)."""
+        if superset is None or len(chain_info) != len(superset):
+            # chain info lost alignment (e.g. after filter_by_group's resort)
+            # — fall back to per-row identity chains, which only affects the
+            # ch:Z tag grouping of already-filtered rows.
+            out = np.zeros(len(subset), dtype=CHAIN_DTYPE)
+            out["chain_id"] = np.arange(len(subset))
+            out["chain_pos"] = 1
+            out["chain_len"] = 1
+            return out
+        # match subset rows back to superset rows by bytes
+        sup_view = superset.tobytes()
+        row_size = superset.dtype.itemsize
+        index_of: dict[bytes, list[int]] = {}
+        for i in range(len(superset)):
+            index_of.setdefault(
+                sup_view[i * row_size : (i + 1) * row_size], []
+            ).append(i)
+        out = np.zeros(len(subset), dtype=CHAIN_DTYPE)
+        sub_view = subset.tobytes()
+        for i in range(len(subset)):
+            key = sub_view[i * row_size : (i + 1) * row_size]
+            j = index_of[key].pop(0)
+            out[i] = chain_info[j]
+        return out

@@ -1,0 +1,151 @@
+"""Top-level orchestration: target subsets -> index -> map queries -> PAF.
+
+Mirrors skch::Map::mapQuery (reference: src/map/include/computeMap.hpp:
+295-873): targets batched into <= index_by_size bp subsets, each indexed
+and mapped against all queries; ONETOONE mode buffers all mappings for a
+final reference-axis sweep (computeMap.hpp:789-866).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .io.fasta import FastaReader
+from .io.paf import write_mapping_rows
+from .io.seqids import SequenceIdManager
+from .map.chain import CHAIN_DTYPE
+from .map.engine import Mapper, log
+from .map.sweep import filter_by_group
+from .params import FILTER_ONETOONE, MapParams
+from .index.build import build_index
+
+
+def create_target_subsets(idm: SequenceIdManager, target_names: list[str],
+                          batch_size: int) -> list[list[str]]:
+    """computeMap.hpp:295-327."""
+    if batch_size <= 0:
+        batch_size = 5_000_000
+    subsets = []
+    current: list[str] = []
+    size = 0
+    for name in target_names:
+        current.append(name)
+        size += idm.get_sequence_length(idm.get_sequence_id(name))
+        if size >= batch_size:
+            subsets.append(current)
+            current = []
+            size = 0
+    if current:
+        subsets.append(current)
+    return subsets
+
+
+def filtered_names(names, prefixes, single_prefix=""):
+    if single_prefix:
+        return [n for n in names if n.startswith(single_prefix)]
+    if prefixes:
+        return [n for n in names if any(n.startswith(p) for p in prefixes)]
+    return list(names)
+
+
+def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
+    idm = SequenceIdManager(
+        params.query_sequences,
+        params.ref_sequences,
+        params.query_prefix,
+        [params.target_prefix] if params.target_prefix else [],
+        params.prefix_delim if params.skip_prefix else "",
+        params.query_list,
+        params.target_list,
+    )
+
+    query_names = filtered_names(idm.get_query_sequence_names(), params.query_prefix)
+    target_names = filtered_names(
+        idm.get_target_sequence_names(), [], params.target_prefix
+    )
+
+    mapper = Mapper(params, idm)
+    subsets = create_target_subsets(idm, target_names, params.index_by_size)
+    log(f"[wfmash::mashmap] Processing {len(subsets)} target subsets")
+
+    query_readers = {f: FastaReader(f) for f in params.query_sequences}
+    target_readers = {f: FastaReader(f) for f in params.ref_sequences}
+
+    combined: dict[int, list[np.ndarray]] = {}
+
+    for subset_idx, subset in enumerate(subsets):
+        log(
+            f"[wfmash::mashmap] Processing subset {subset_idx + 1}/{len(subsets)} (mapping)"
+        )
+        seqs = []
+        for name in subset:
+            for reader in target_readers.values():
+                if name in reader:
+                    seqs.append((idm.get_sequence_id(name), reader.fetch(name)))
+                    break
+        index = build_index(params, seqs, log=log)
+
+        for qname in query_names:
+            seq = None
+            for reader in query_readers.values():
+                if qname in reader:
+                    seq = reader.fetch(qname)
+                    break
+            if seq is None or len(seq) == 0:
+                continue
+            result = mapper.map_query(qname, seq, index)
+            if params.filter_mode == FILTER_ONETOONE:
+                qid = idm.get_sequence_id(qname)
+                combined.setdefault(qid, []).append(result.mappings)
+            else:
+                write_mapping_rows(
+                    out, qname, result.query_len, result.mappings,
+                    result.chain_info, idm, params.merge_mappings,
+                )
+
+    if params.filter_mode == FILTER_ONETOONE:
+        _one_to_one_output(params, idm, mapper, combined, out)
+
+
+def _one_to_one_output(params, idm, mapper, combined, out) -> None:
+    """Final reference-axis sweep per target sequence (computeMap.hpp:789-866)."""
+    # group all mappings by target sequence
+    by_target: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for qid, parts in combined.items():
+        if not parts:
+            continue
+        allm = np.concatenate(parts)
+        for row in allm:
+            by_target.setdefault(int(row["ref_seq_id"]), []).append((qid, row))
+
+    final: dict[int, list[np.ndarray]] = {}
+    for tid, rows in by_target.items():
+        arr = np.array([r for _, r in rows], dtype=rows[0][1].dtype)
+        qids = [q for q, _ in rows]
+        keep = filter_by_group(
+            arr, params.num_mappings_for_segment - 1, True,
+            mapper.group_of, mapper.seq_len_of, params,
+        )
+        # re-associate filtered rows to their query ids by record identity
+        id_map: dict[bytes, list[int]] = {}
+        row_size = arr.dtype.itemsize
+        raw = arr.tobytes()
+        for i in range(len(arr)):
+            id_map.setdefault(raw[i * row_size : (i + 1) * row_size], []).append(i)
+        kraw = keep.tobytes()
+        for i in range(len(keep)):
+            j = id_map[kraw[i * row_size : (i + 1) * row_size]].pop(0)
+            final.setdefault(qids[j], []).append(keep[i])
+
+    for qid, rows in final.items():
+        qname = idm.get_sequence_name(qid)
+        qlen = idm.get_sequence_length(qid)
+        arr = np.array(rows, dtype=rows[0].dtype)
+        chain_info = np.zeros(len(arr), dtype=CHAIN_DTYPE)
+        chain_info["chain_id"] = np.arange(len(arr))
+        chain_info["chain_pos"] = 1
+        chain_info["chain_len"] = 1
+        write_mapping_rows(out, qname, qlen, arr, chain_info, idm,
+                           params.merge_mappings)
