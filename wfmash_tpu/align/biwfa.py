@@ -1,0 +1,189 @@
+"""The default alignment path: end-to-end WFA + boundary patching + swizzle.
+
+Equivalent of wflign::wavefront::do_biwfa_alignment (reference:
+src/common/wflign/src/wflign.cpp:108-483):
+
+1. end-to-end two-piece-affine WFA of target x query (the whole mapped
+   block, query already strand-adjusted);
+2. unless chain patching is disabled, erode the CIGAR head/tail until at
+   least 11 consecutive matches are seen and >= 128 bp of both sequences
+   are exposed (at most 4096), re-align the exposed ends ENDS-FREE (free
+   gap at the outer boundary), erode <=3bp matches between opposing indels,
+   and splice the patched ends back;
+3. swizzle: swap leading "N= Dlen D" / trailing "Dlen D N=" patterns when
+   sequences agree;
+4. emit a PAF row (gi/bi/md/cg tags, leading/trailing indels trimmed) or a
+   SAM record.
+
+The `aligner` argument abstracts the WFA engine: any callable implementing
+align(query, target, ends_free=None) -> ops. The host reference engine and
+the batched JAX/TPU engine are interchangeable here.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from . import cigar as C
+from .wfa_np import EndsFree, Penalties, wfa_align
+
+MIN_PATCH_LENGTH = 128
+MAX_ERODE_LENGTH = 4096
+MIN_CONSECUTIVE_MATCHES = 11
+
+
+@dataclass
+class AlignmentJob:
+    """One mapping record to align (sequences already extracted/normalized;
+    query strand-adjusted: reverse-complemented when query_is_rev)."""
+
+    query_name: str
+    query: bytes              # the aligned region, strand-adjusted
+    query_total_length: int
+    query_offset: int         # offset of region start on the + strand
+    query_length: int
+    query_is_rev: bool
+    target_name: str
+    target: bytes             # target region (no padding inside)
+    target_total_length: int
+    target_offset: int
+    target_length: int
+    mashmap_estimated_identity: float
+    chain_id: int = -1
+    chain_length: int = 1
+    chain_pos: int = 1
+
+
+class HostWfaEngine:
+    """Reference (host) WFA engine."""
+
+    def __init__(self, penalties: Penalties):
+        self.penalties = penalties
+
+    def align(self, query: bytes, target: bytes, ends_free: EndsFree | None = None):
+        _, ops = wfa_align(query, target, self.penalties, ends_free)
+        return ops
+
+    def align_batch(self, jobs):
+        """jobs: list of (query, target, ends_free|None) -> list of ops."""
+        return [self.align(q, t, ef) for q, t, ef in jobs]
+
+
+def patch_boundaries(ops, query: bytes, target: bytes, engine) -> list:
+    """Head/tail erode + ends-free re-alignment (wflign.cpp:240-418)."""
+    # -- head
+    q_er, t_er, erode_ops = C.erode_head(
+        ops, MIN_PATCH_LENGTH, MAX_ERODE_LENGTH, MIN_CONSECUTIVE_MATCHES
+    )
+    if q_er > 3 or t_er > 3:
+        head_ops = engine.align(
+            query[:q_er],
+            target[:t_er],
+            EndsFree(target_begin=t_er, query_begin=q_er),
+        )
+        if head_ops is not None:
+            head_ops = C.erode_short_matches(head_ops, 3, is_head=True)
+            ops = C.merge_adjacent(head_ops, ops[erode_ops:])
+
+    # -- tail
+    q_er, t_er, erode_start = C.erode_tail(
+        ops, MIN_PATCH_LENGTH, MAX_ERODE_LENGTH, MIN_CONSECUTIVE_MATCHES
+    )
+    if q_er > 3 or t_er > 3:
+        tail_ops = engine.align(
+            query[len(query) - q_er :],
+            target[len(target) - t_er :],
+            EndsFree(target_end=t_er, query_end=q_er),
+        )
+        if tail_ops is not None:
+            tail_ops = C.erode_short_matches(tail_ops, 3, is_head=False)
+            ops = C.merge_adjacent(ops[:erode_start], tail_ops)
+    return ops
+
+
+def align_record(job: AlignmentJob, engine, disable_chain_patching=False):
+    """Run the biWFA path for one record; returns final ops or None."""
+    ops = engine.align(job.query, job.target)
+    if ops is None:
+        return None
+    if not disable_chain_patching:
+        ops = patch_boundaries(ops, job.query, job.target, engine)
+    ops = C.try_swap_start_pattern(ops, job.query, job.target, 0, 0)
+    ops = C.try_swap_end_pattern(ops, job.query, job.target, 0, 0)
+    return ops
+
+
+def float2phred(prob: float) -> float:
+    """wflign_patch.cpp:2726-2734."""
+    if prob == 1:
+        return 255.0
+    p = -10.0 * math.log10(prob) if prob > 0 else 255.0
+    return 255.0 if (p < 0 or p > 255) else p
+
+
+def fmt_double(x: float) -> str:
+    """C++ `ostream << double` default formatting (6 significant digits)."""
+    return f"{float(x):.6g}"
+
+
+def write_paf_row(out, job: AlignmentJob, ops,
+                  min_identity: float, min_alignment_length: int,
+                  min_block_identity: float) -> bool:
+    """write_alignment_paf (wflign_patch.cpp:2611-2724)."""
+    if not ops:
+        return False
+    (matches, mismatches, ins, ins_bp, dels, del_bp,
+     _, _) = C.stats(ops)
+
+    trimmed, new_ref_start, new_query_start = C.trim_indels(
+        ops, job.target_offset, job.query_offset
+    )
+    (matches, mismatches, ins, ins_bp, dels, del_bp,
+     ref_aligned, q_aligned) = C.stats(trimmed)
+    denom_gc = matches + mismatches + ins + dels
+    denom_bi = matches + mismatches + ins_bp + del_bp
+    if denom_gc == 0 or denom_bi == 0:
+        return False
+    gap_compressed_identity = matches / denom_gc
+    block_identity = matches / denom_bi
+    if not (
+        gap_compressed_identity >= min_identity
+        and q_aligned >= min_alignment_length
+        and block_identity >= min_block_identity
+    ):
+        return False
+
+    aln_ref_pos = new_ref_start - job.target_offset
+    if job.query_is_rev:
+        rel = new_query_start - job.query_offset
+        q_start = job.query_offset + (job.query_length - rel - q_aligned)
+        q_end = job.query_offset + (job.query_length - rel)
+    else:
+        q_start = new_query_start
+        q_end = new_query_start + q_aligned
+
+    cols = [
+        job.query_name,
+        str(job.query_total_length),
+        str(q_start),
+        str(q_end),
+        "-" if job.query_is_rev else "+",
+        job.target_name,
+        str(job.target_total_length),
+        str(job.target_offset + aln_ref_pos),
+        str(job.target_offset + aln_ref_pos + ref_aligned),
+        str(matches),
+        str(max(ref_aligned, q_aligned)),
+        str(int(round(float2phred(1.0 - block_identity)))),
+        "gi:f:" + fmt_double(gap_compressed_identity),
+        "bi:f:" + fmt_double(block_identity),
+        "md:f:" + fmt_double(job.mashmap_estimated_identity),
+    ]
+    if job.chain_length > 0:
+        cols.append(
+            f"ch:Z:{job.chain_id}.{job.chain_length}.{job.chain_pos}"
+        )
+    cols.append("cg:Z:" + C.format_ops(trimmed))
+    out.write("\t".join(cols) + "\t\n")
+    return True

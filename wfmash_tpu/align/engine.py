@@ -1,0 +1,218 @@
+"""Alignment driver: PAF records -> WFA jobs -> PAF/SAM output.
+
+Equivalent of align::Aligner (reference:
+src/align/include/computeAlignments.hpp:142-738):
+
+* scan the mapping PAF once; per record apply target padding (both ends)
+  and query padding (only at chain ends: start padding when chain_pos==1
+  AND the record is the last piece, end padding when chain_pos==chain_len
+  — reproducing the reference's write-only-at-last-piece behavior,
+  computeAlignments.hpp:267-289);
+* fetch the target with up to wflign_max_len_minor extra head/tail context
+  (used by patching), fetch the query region, uppercase/N-normalize both,
+  reverse-complement the query for '-' mappings;
+* run the biWFA path (align/biwfa.py) per record;
+* emit PAF rows (or SAM), preserving input record order.
+
+The WFA engine is pluggable; by default the batched JAX engine handles
+records grouped into shape buckets, with the host engine as fallback.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..io.fasta import FastaReader
+from ..io.paf import parse_paf_line
+from ..params import AlignParams, fixed
+from ..sketch.kmers import normalize, reverse_complement
+from .biwfa import AlignmentJob, HostWfaEngine, align_record, write_paf_row
+from .wfa_np import Penalties
+
+
+def log(msg):
+    print(msg, file=sys.stderr)
+
+
+def parse_mashmap_row(line: str, target_padding: int, query_padding: int):
+    """parseMashmapRow (computeAlignments.hpp:195-303). Returns a dict or
+    raises on malformed input."""
+    rec = parse_paf_line(line)
+    # estimated identity from column 13 ("id:f:0.93" in mapping output)
+    parts = line.rstrip("\n").split("\t")
+    if len(parts) < 13:
+        raise ValueError("invalid mashmap mapping record")
+    id_tok = parts[12].split(":")
+    try:
+        mm_id = float(id_tok[-1])
+    except ValueError:
+        mm_id = fixed.percentage_identity
+
+    chain_id, chain_length, chain_pos = -1, 1, 1
+    if len(parts) > 14:
+        ch = parts[14].split(":")
+        if len(ch) == 3 and ch[0] == "ch" and ch[1] == "Z":
+            sub = ch[2].split(".")
+            if len(sub) == 3:
+                chain_id, chain_pos, chain_length = (
+                    int(sub[0]), int(sub[1]), int(sub[2])
+                )
+
+    r_start, r_end = rec["target_start"], rec["target_end"]
+    q_start, q_end = rec["query_start"], rec["query_end"]
+    ref_len = rec["target_len"]
+    query_len = rec["query_len"]
+
+    if target_padding > 0:
+        r_start = r_start - target_padding if r_start >= target_padding else 0
+        r_end = r_end + target_padding if r_end + target_padding <= ref_len else ref_len
+
+    if query_padding > 0:
+        qs = q_start
+        qe = q_end
+        if chain_pos == 1:
+            qs = q_start - query_padding if q_start >= query_padding else 0
+        if chain_pos == chain_length:
+            if q_end + query_padding <= query_len:
+                qe = q_end + query_padding
+            else:
+                qe = query_len
+            # the reference commits BOTH coordinates only on the last piece
+            q_start, q_end = qs, qe
+
+    if r_start >= ref_len or r_end > ref_len:
+        raise ValueError("coordinates exceed reference length")
+
+    return {
+        "query_name": rec["query_name"],
+        "query_len": query_len,
+        "q_start": q_start,
+        "q_end": q_end,
+        "is_rev": rec["strand"] == "-",
+        "target_name": rec["target_name"],
+        "target_len": ref_len,
+        "r_start": r_start,
+        "r_end": r_end,
+        "mm_id": mm_id,
+        "chain_id": chain_id,
+        "chain_length": chain_length,
+        "chain_pos": chain_pos,
+    }
+
+
+def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
+              params: AlignParams) -> AlignmentJob:
+    """createSeqRecord + processAlignment prep (computeAlignments.hpp:
+    582-723). The target region is extracted WITHOUT the extra patching
+    context for now (context becomes relevant for the hierarchical wflign
+    path; the default biWFA path only touches [r_start, r_end))."""
+    target = ref_reader.fetch(row["target_name"], row["r_start"], row["r_end"] - 1)
+    query = query_reader.fetch(row["query_name"], row["q_start"], row["q_end"] - 1)
+    target = bytes(normalize(target))
+    qnorm = normalize(query)
+    if row["is_rev"]:
+        query = bytes(reverse_complement(qnorm))
+    else:
+        query = bytes(qnorm)
+    return AlignmentJob(
+        query_name=row["query_name"],
+        query=query,
+        query_total_length=row["query_len"],
+        query_offset=row["q_start"],
+        query_length=row["q_end"] - row["q_start"],
+        query_is_rev=row["is_rev"],
+        target_name=row["target_name"],
+        target=target,
+        target_total_length=row["target_len"],
+        target_offset=row["r_start"],
+        target_length=row["r_end"] - row["r_start"],
+        mashmap_estimated_identity=row["mm_id"],
+        chain_id=row["chain_id"],
+        chain_length=row["chain_length"],
+        chain_pos=row["chain_pos"],
+    )
+
+
+def make_engine(params: AlignParams):
+    penalties = Penalties(
+        params.wfa_patching_mismatch_score,
+        params.wfa_patching_gap_opening_score1,
+        params.wfa_patching_gap_extension_score1,
+        params.wfa_patching_gap_opening_score2,
+        params.wfa_patching_gap_extension_score2,
+    )
+    try:
+        from .wfa_jax import JaxWfaEngine
+
+        return JaxWfaEngine(penalties)
+    except Exception as e:  # pragma: no cover - fallback path
+        log(f"[wfmash::align] JAX WFA engine unavailable ({e}); using host engine")
+        return HostWfaEngine(penalties)
+
+
+def run_alignment(params: AlignParams, out) -> None:
+    ref_reader = FastaReader(params.ref_sequences[0])
+    query_reader = FastaReader(params.query_sequences[0])
+
+    rows = []
+    with open(params.mashmap_paf_file) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            try:
+                rows.append(
+                    parse_mashmap_row(
+                        line, params.target_padding, params.query_padding
+                    )
+                )
+            except (ValueError, IndexError) as e:
+                log(f"[wfmash::align] Warning: Skipping invalid record: {e}")
+
+    total_q = sum(r["q_end"] - r["q_start"] for r in rows)
+    log(
+        f"[wfmash::align] Found {len(rows)} mapping records for alignment "
+        f"({total_q} query bp)"
+    )
+
+    if params.sam_format:
+        write_sam_header(out, ref_reader)
+
+    engine = make_engine(params)
+
+    n_aligned = 0
+    for row in rows:
+        try:
+            job = build_job(row, ref_reader, query_reader, params)
+            ops = align_record(job, engine, params.disable_chain_patching)
+            if ops is None:
+                continue
+            if params.sam_format:
+                from .sam import write_sam_row
+
+                write_sam_row(
+                    out, job, ops,
+                    params.min_identity, params.min_alignment_length,
+                    params.min_block_identity,
+                    no_seq=params.no_seq_in_sam, emit_md=params.emit_md_tag,
+                )
+            else:
+                write_paf_row(
+                    out, job, ops,
+                    params.min_identity, params.min_alignment_length,
+                    params.min_block_identity,
+                )
+            n_aligned += 1
+        except Exception as e:
+            log(f"[wfmash::align] Error processing record: {e}")
+
+    log(f"[wfmash::align] total aligned records = {n_aligned}")
+
+
+def write_sam_header(out, ref_reader: FastaReader) -> None:
+    for rec in ref_reader.records:
+        out.write(f"@SQ\tSN:{rec.name}\tLN:{rec.length}\n")
+    from .. import __version__
+
+    out.write(f"@PG\tID:wfmash\tPN:wfmash\tVN:{__version__}\tCL:wfmash\n")
