@@ -77,8 +77,10 @@ def ring_size(p: Penalties) -> int:
 # Gap-open slot layout in open_a: [I1 open_h, I2 open_h, D1 open_v, D2 open_v].
 
 
-def _advance(off, anc_v, anc_h, open_a, s, query_w, target_w, qlen, tlen,
+def _advance(off, anc_v, anc_h, open_a, s, query_b, target_b, qlen, tlen,
              axis_is_query, mid, K: int, R: int, penalties: Penalties):
+    """One score step. query_b/target_b are block tables from
+    :func:`make_blocks`."""
     p = penalties
     x, o1, e1, o2, e2 = (
         p.mismatch, p.gap_opening1, p.gap_extension1,
@@ -225,7 +227,7 @@ def _advance(off, anc_v, anc_h, open_a, s, query_w, target_w, qlen, tlen,
     m_ph = jnp.where(ok, m_ph, UNSET)
 
     # ---- extension with crossing detection -----------------------------
-    m_ext = _extend(m_off, kvec, query_w, target_w, qlen, tlen)
+    m_ext = _extend(m_off, kvec, query_b, target_b, qlen, tlen)
     # crossing inside the extension run: boundary coordinate passes mid
     v_pre = m_off - kvec
     v_post = m_ext - kvec
@@ -270,6 +272,8 @@ def _sweep(off, anc_v, anc_h, open_a, query_w, target_w, qlen, tlen,
     """Run the full score loop on device; returns per-problem
     (final_score, anchor_v, anchor_h, converged)."""
     B = off.shape[0]
+    query_b = make_blocks(query_w)
+    target_b = make_blocks(target_w)
 
     def cond(carry):
         s, _, _, _, _, finished, _, _, _ = carry
@@ -279,7 +283,7 @@ def _sweep(off, anc_v, anc_h, open_a, query_w, target_w, qlen, tlen,
         s, off, anc_v, anc_h, open_a, finished, f_score, f_pv, f_ph = carry
         s = s + 1
         off, anc_v, anc_h, open_a, done, pv, ph = _advance(
-            off, anc_v, anc_h, open_a, s, query_w, target_w, qlen, tlen,
+            off, anc_v, anc_h, open_a, s, query_b, target_b, qlen, tlen,
             axis_is_query, mid, K, R, penalties,
         )
         newly = done & ~finished
@@ -307,36 +311,85 @@ def _sweep(off, anc_v, anc_h, open_a, query_w, target_w, qlen, tlen,
 # the per-lane byte-alignment shift.
 NWORDS = 17
 EXT_BYTES = (NWORDS - 1) * 4
+BLOCK_WORDS = 64  # coarse fetch granularity (one-hot matmul over blocks)
+WIN = BLOCK_WORDS + NWORDS + 2  # overlapping window width in words
 
 
-def _fetch_aligned_words(words, byte_off, nw: int):
-    """Gather nw+1 consecutive u32 words starting at byte_off//4 and shift
-    them so the result's byte 0 is byte_off. Returns (..., nw) uint32."""
-    B = words.shape[0]
+def make_blocks(words):
+    """(B, Lw) uint32 -> (B, NB, WIN*4) bf16 of u8 channels.
+
+    The sequence words are laid out as NB overlapping windows of WIN words
+    (stride BLOCK_WORDS) and split into 4 byte channels, exactly
+    representable in bf16, so a one-hot (B,K,NB) @ (B,NB,WIN*4) matmul on
+    the MXU fetches any lane's 17-word neighborhood without a gather.
+    """
+    B, Lw = words.shape
+    nb = -(-Lw // BLOCK_WORDS)
+    pad = nb * BLOCK_WORDS + WIN - Lw
+    w = jnp.concatenate(
+        [words, jnp.zeros((B, pad), dtype=words.dtype)], axis=1
+    )
+    rows = [w[:, n * BLOCK_WORDS : n * BLOCK_WORDS + WIN] for n in range(nb)]
+    blk = jnp.stack(rows, axis=1)  # (B, NB, WIN) uint32
+    ch = jnp.stack(
+        [
+            (blk & 0xFF),
+            ((blk >> 8) & 0xFF),
+            ((blk >> 16) & 0xFF),
+            ((blk >> 24) & 0xFF),
+        ],
+        axis=-1,
+    )  # (B, NB, WIN, 4)
+    return ch.reshape(B, nb, WIN * 4).astype(jnp.bfloat16)
+
+
+def _fetch_aligned_words_mm(blocks, byte_off, nw: int):
+    """Gather-free fetch of nw+1 consecutive u32 words at byte_off//4,
+    shifted so byte 0 is byte_off. blocks from :func:`make_blocks`.
+    Returns (B, K, nw) uint32."""
+    B, NB, _ = blocks.shape
     K = byte_off.shape[1]
-    Lw = words.shape[1]
     word0 = byte_off >> 2
-    r8 = ((byte_off & 3) << 3).astype(jnp.uint32)  # shift in bits
-    idx = word0[:, :, None] + jnp.arange(nw + 1, dtype=jnp.int32)[None, None, :]
-    idx = jnp.clip(idx, 0, Lw - 1)
-    w = jnp.take_along_axis(words, idx.reshape(B, -1), axis=1).reshape(B, K, nw + 1)
-    lo = w[:, :, :nw] >> r8[:, :, None]
-    hi_shift = (jnp.uint32(32) - r8)[:, :, None]
-    # when r8 == 0 the hi part must vanish (x << 32 is UB-ish; mask instead)
-    hi = jnp.where(r8[:, :, None] == 0, jnp.uint32(0), w[:, :, 1:] << hi_shift)
-    return lo | hi
+    blk_idx = word0 // BLOCK_WORDS
+    lo = word0 % BLOCK_WORDS
+    onehot = jax.nn.one_hot(blk_idx, NB, dtype=jnp.bfloat16)  # (B, K, NB)
+    win = jax.lax.dot_general(
+        onehot, blocks,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, K, WIN*4) exact u8 values
+    win = win.astype(jnp.uint32).reshape(B, K, WIN, 4)
+    win_u32 = (
+        win[..., 0] | (win[..., 1] << 8) | (win[..., 2] << 16)
+        | (win[..., 3] << 24)
+    )  # (B, K, WIN)
+    # select nw+1 consecutive words starting at `lo` via compare-select
+    jidx = lo[:, :, None] + jnp.arange(nw + 1, dtype=jnp.int32)[None, None, :]
+    sel = (
+        jnp.arange(WIN, dtype=jnp.int32)[None, None, None, :]
+        == jidx[:, :, :, None]
+    )
+    w = (jnp.where(sel, win_u32[:, :, None, :], jnp.uint32(0))).sum(axis=3)
+    # byte-alignment shift
+    r8 = ((byte_off & 3) << 3).astype(jnp.uint32)
+    lo_part = w[:, :, :nw] >> r8[:, :, None]
+    hi = jnp.where(
+        r8[:, :, None] == 0, jnp.uint32(0),
+        w[:, :, 1:] << (jnp.uint32(32) - r8)[:, :, None],
+    )
+    return lo_part | hi
 
 
-def _extend(m, kvec, query_w, target_w, qlen, tlen):
+def _extend(m, kvec, query_blocks, target_blocks, qlen, tlen):
     """Advance M offsets while query[h] == target[h - k], comparing
-    EXT_BYTES at a time via packed u32 words."""
+    EXT_BYTES at a time via packed u32 words fetched by one-hot matmul."""
 
     def ext_chunk(off):
         h = jnp.where(off > NEG, off, 0)
         v = h - kvec
         v = jnp.where(off > NEG, v, 0)
-        qw = _fetch_aligned_words(query_w, h, NWORDS - 1)
-        tw = _fetch_aligned_words(target_w, v, NWORDS - 1)
+        qw = _fetch_aligned_words_mm(query_blocks, h, NWORDS - 1)
+        tw = _fetch_aligned_words_mm(target_blocks, v, NWORDS - 1)
         x = qw ^ tw
         # per-word leading matched bytes (little-endian: byte 0 first)
         b0 = (x & 0xFF) == 0

@@ -312,6 +312,12 @@ def main(argv=None) -> int:
                 dens = 0.02 * (1.0 + md / 0.1)
                 mp.sketch_size = int(dens * (mp.window_length - mp.kmer_size))
 
+    if mp.use_external_seeds:
+        from .map.external import process_external_seeds
+
+        process_external_seeds(mp, sys.stdout)
+        return 0
+
     from .runner import run_mapping
 
     if approx_mapping:

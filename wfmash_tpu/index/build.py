@@ -79,6 +79,8 @@ def build_index(
     log=lambda msg: print(msg, file=sys.stderr),
 ) -> MinmerIndex:
     """Build the minmer index for one target subset."""
+    from ..native import winnow_minmers_native
+
     all_records = []
     skipped = 0
     total_bp = 0
@@ -87,10 +89,15 @@ def build_index(
             skipped += 1
             continue
         total_bp += len(seq)
-        recs = winnow_minmers(
+        recs = winnow_minmers_native(
             seq, params.kmer_size, params.window_length, params.sketch_size,
             seq_id=seq_id,
         )
+        if recs is None:  # native lib unavailable
+            recs = winnow_minmers(
+                seq, params.kmer_size, params.window_length,
+                params.sketch_size, seq_id=seq_id,
+            )
         all_records.append(recs)
 
     if not all_records:

@@ -67,11 +67,66 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
     )
 
     mapper = Mapper(params, idm)
+
+    # -I: adopt the batch size recorded in the index so subsets line up
+    # (computeMap.hpp:349-375)
+    if params.index_filename and not params.create_index_only:
+        import struct
+
+        from .index.store import MAGIC
+
+        with open(params.index_filename, "rb") as fh:
+            magic, _bi, total_batches, batch_size = struct.unpack(
+                "<QQQq", fh.read(32)
+            )
+        if magic != MAGIC:
+            raise ValueError("invalid index file format (wrong magic number)")
+        if batch_size > 0:
+            params.index_by_size = batch_size
+            log(
+                f"[wfmash::mashmap] Using batch size {batch_size} from index "
+                f"file ({total_batches} subsets)"
+            )
+
     subsets = create_target_subsets(idm, target_names, params.index_by_size)
     log(f"[wfmash::mashmap] Processing {len(subsets)} target subsets")
 
     query_readers = {f: FastaReader(f) for f in params.query_sequences}
     target_readers = {f: FastaReader(f) for f in params.ref_sequences}
+
+    def build_subset(subset):
+        seqs = []
+        for name in subset:
+            for reader in target_readers.values():
+                if name in reader:
+                    seqs.append((idm.get_sequence_id(name), reader.fetch(name)))
+                    break
+        return build_index(params, seqs, log=log)
+
+    # -W: write the index per subset and exit (computeMap.hpp:405-416)
+    if params.create_index_only:
+        from .index.store import write_subset_index
+
+        with open(params.index_filename, "wb") as fh:
+            for subset_idx, subset in enumerate(subsets):
+                log(
+                    f"[wfmash::mashmap] Processing subset {subset_idx + 1}/"
+                    f"{len(subsets)} (indexing): {params.index_filename}"
+                )
+                index = build_subset(subset)
+                write_subset_index(
+                    fh, index, subset, dict(idm.name_to_id), params,
+                    subset_idx, len(subsets),
+                )
+        log("[wfmash::mashmap] All indices created successfully.")
+        return
+
+    # -I: stream subsets from the saved index (computeMap.hpp:431-486)
+    index_stream = None
+    if params.index_filename:
+        from .index.store import read_subset_index
+
+        index_stream = open(params.index_filename, "rb")
 
     combined: dict[int, list[np.ndarray]] = {}
 
@@ -79,13 +134,15 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         log(
             f"[wfmash::mashmap] Processing subset {subset_idx + 1}/{len(subsets)} (mapping)"
         )
-        seqs = []
-        for name in subset:
-            for reader in target_readers.values():
-                if name in reader:
-                    seqs.append((idm.get_sequence_id(name), reader.fetch(name)))
-                    break
-        index = build_index(params, seqs, log=log)
+        if index_stream is not None:
+            from .index.store import read_subset_index
+
+            loaded = read_subset_index(index_stream, params)
+            if loaded is None:
+                raise ValueError("index file has fewer subsets than expected")
+            index, _, _ = loaded
+        else:
+            index = build_subset(subset)
 
         for qname in query_names:
             seq = None
