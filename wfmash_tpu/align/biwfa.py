@@ -105,6 +105,11 @@ def patch_boundaries(ops, query: bytes, target: bytes, engine) -> list:
 def align_record(job: AlignmentJob, engine, disable_chain_patching=False):
     """Run the biWFA path for one record; returns final ops or None."""
     ops = engine.align(job.query, job.target)
+    return finish_record(job, ops, engine, disable_chain_patching)
+
+
+def finish_record(job: AlignmentJob, ops, engine, disable_chain_patching=False):
+    """Patch + swizzle a record whose main alignment is already computed."""
     if ops is None:
         return None
     if not disable_chain_patching:
@@ -112,6 +117,17 @@ def align_record(job: AlignmentJob, engine, disable_chain_patching=False):
     ops = C.try_swap_start_pattern(ops, job.query, job.target, 0, 0)
     ops = C.try_swap_end_pattern(ops, job.query, job.target, 0, 0)
     return ops
+
+
+def align_records_batched(jobs: list, engine, disable_chain_patching=False):
+    """Phase-structured batch: all main end-to-end alignments go through the
+    (device) engine as one batch; boundary patches/swizzles follow per
+    record. Returns a list of ops (None for failed records)."""
+    mains = engine.align_batch([(j.query, j.target, None) for j in jobs])
+    return [
+        finish_record(job, ops, engine, disable_chain_patching)
+        for job, ops in zip(jobs, mains)
+    ]
 
 
 def float2phred(prob: float) -> float:

@@ -181,11 +181,38 @@ def run_alignment(params: AlignParams, out) -> None:
 
     engine = make_engine(params)
 
-    n_aligned = 0
+    # build all jobs first, then run main alignments as device batches
+    jobs = []
     for row in rows:
         try:
-            job = build_job(row, ref_reader, query_reader, params)
-            ops = align_record(job, engine, params.disable_chain_patching)
+            jobs.append(build_job(row, ref_reader, query_reader, params))
+        except Exception as e:
+            log(f"[wfmash::align] Error extracting record: {e}")
+            jobs.append(None)
+
+    from .biwfa import align_records_batched
+
+    n_aligned = 0
+    batch_size = 64
+    live = [j for j in jobs if j is not None]
+    for start in range(0, len(live), batch_size):
+        chunk = live[start : start + batch_size]
+        try:
+            ops_list = align_records_batched(
+                chunk, engine, params.disable_chain_patching
+            )
+        except Exception as e:
+            log(f"[wfmash::align] Batch error, falling back per-record: {e}")
+            ops_list = []
+            for job in chunk:
+                try:
+                    ops_list.append(
+                        align_record(job, engine, params.disable_chain_patching)
+                    )
+                except Exception as e2:
+                    log(f"[wfmash::align] Error processing record: {e2}")
+                    ops_list.append(None)
+        for job, ops in zip(chunk, ops_list):
             if ops is None:
                 continue
             if params.sam_format:
@@ -204,8 +231,6 @@ def run_alignment(params: AlignParams, out) -> None:
                     params.min_block_identity,
                 )
             n_aligned += 1
-        except Exception as e:
-            log(f"[wfmash::align] Error processing record: {e}")
 
     log(f"[wfmash::align] total aligned records = {n_aligned}")
 

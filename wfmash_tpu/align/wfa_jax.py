@@ -553,7 +553,16 @@ class JaxWfaEngine:
         # distinct sentinels guarantee query/target mismatch out of range
         Lq = pow2(max(ms) + EXT_BYTES + 8)
         Lt = pow2(max(ns) + EXT_BYTES + 8)
+        # adaptive diagonal span: smallest ladder step covering the length
+        # difference plus a generous indel-excursion margin (see
+        # ARCHITECTURE.md "exactness envelope")
+        margin = max(128, max(max(ms), max(ns)) // 16)
+        need = 2 * (max(abs(a - b) for a, b in zip(ms, ns)) + margin) + 3
         K = self.MAX_SPAN
+        for step in (257, 513, 1025, 2049):
+            if need <= step <= self.MAX_SPAN:
+                K = step
+                break
         R = self.R
 
         query = np.full((B, Lq), 0x01, dtype=np.uint8)
