@@ -5,9 +5,15 @@ consistent with the PAF columns).
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
+
+# E2E tests exercise the full pipeline semantics with the host WFA engine
+# (the device engine's exactness is covered by tests/test_wfa_jax.py; on the
+# CPU test platform its sweeps are orders of magnitude slower).
+os.environ["WFMASH_TPU_WFA_ENGINE"] = "host"
 
 from wfmash_tpu.align import cigar as C
 from wfmash_tpu.align.engine import run_alignment
@@ -40,6 +46,10 @@ def run_full(tmp_path, target_seqs, query_seqs, **overrides):
         ref_sequences=[str(tfa)],
         query_sequences=[str(qfa)],
         mashmap_paf_file=str(paf_path),
+        # small padding keeps test WFA scores bounded (default min(w,5000)
+        # adds ~2*padding score per record via boundary deletion runs)
+        target_padding=100,
+        query_padding=100,
     ).finalize(mp.window_length)
     out = io.StringIO()
     run_alignment(ap, out)
@@ -73,9 +83,12 @@ def validate_paf_row(row, targets, queries):
 
 def test_full_pipeline_forward(tmp_path):
     rng = np.random.default_rng(0)
-    target = random_dna(rng, 30_000)
-    query = mutate(rng, target[5_000:20_000], 0.03)
-    rows, tseqs, qseqs = run_full(tmp_path, {"t1": target}, {"q1": query})
+    target = random_dna(rng, 12_000)
+    query = mutate(rng, target[3_000:10_000], 0.015)
+    # scaffold filtering itself is covered in test_mapping_e2e
+    rows, tseqs, qseqs = run_full(
+        tmp_path, {"t1": target}, {"q1": query}, scaffold_gap=0
+    )
     assert rows
     for r in rows:
         validate_paf_row(r, {"t1": target}, {"q1": query})
@@ -89,9 +102,9 @@ def test_full_pipeline_forward(tmp_path):
 
 def test_full_pipeline_reverse(tmp_path):
     rng = np.random.default_rng(1)
-    target = random_dna(rng, 25_000)
-    query = revcomp(mutate(rng, target[2_000:16_000], 0.02))
-    rows, _, _ = run_full(tmp_path, {"t1": target}, {"q1": query})
+    target = random_dna(rng, 12_000)
+    query = revcomp(mutate(rng, target[2_000:8_000], 0.012))
+    rows, _, _ = run_full(tmp_path, {"t1": target}, {"q1": query}, scaffold_gap=0)
     assert rows
     assert all(r["strand"] == "-" for r in rows)
     for r in rows:
@@ -100,10 +113,10 @@ def test_full_pipeline_reverse(tmp_path):
 
 def test_full_pipeline_with_indels(tmp_path):
     rng = np.random.default_rng(2)
-    target = random_dna(rng, 28_000)
+    target = random_dna(rng, 14_000)
     # query: two segments of target with a 400bp deletion between them
-    q = mutate(rng, target[4_000:12_000] + target[12_400:20_000], 0.02)
-    rows, _, _ = run_full(tmp_path, {"t1": target}, {"q1": q})
+    q = mutate(rng, target[3_000:7_000] + target[7_400:11_000], 0.012)
+    rows, _, _ = run_full(tmp_path, {"t1": target}, {"q1": q}, scaffold_gap=0)
     assert rows
     for r in rows:
         validate_paf_row(r, {"t1": target}, {"q1": q})
@@ -117,15 +130,15 @@ def test_full_pipeline_with_indels(tmp_path):
 
 def test_sam_output(tmp_path):
     rng = np.random.default_rng(3)
-    target = random_dna(rng, 20_000)
-    query = mutate(rng, target[1_000:14_000], 0.02)
+    target = random_dna(rng, 11_000)
+    query = mutate(rng, target[1_000:7_000], 0.012)
     tfa = tmp_path / "t.fa"
     qfa = tmp_path / "q.fa"
     write_fasta(tfa, {"t1": target})
     write_fasta(qfa, {"q1": query})
     mp = MapParams(
         ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
-        percentage_identity=0.9, auto_pct_identity=False,
+        percentage_identity=0.9, auto_pct_identity=False, scaffold_gap=0,
     ).finalize()
     buf = io.StringIO()
     run_mapping(mp, buf)
@@ -134,13 +147,14 @@ def test_sam_output(tmp_path):
     ap = AlignParams(
         ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
         mashmap_paf_file=str(paf_path), sam_format=True, emit_md_tag=True,
+        target_padding=100, query_padding=100,
     ).finalize(mp.window_length)
     out = io.StringIO()
     run_alignment(ap, out)
     lines = out.getvalue().splitlines()
     headers = [l for l in lines if l.startswith("@")]
     records = [l for l in lines if not l.startswith("@")]
-    assert any(l.startswith("@SQ\tSN:t1\tLN:20000") for l in headers)
+    assert any(l.startswith("@SQ\tSN:t1\tLN:11000") for l in headers)
     assert records
     for rec in records:
         f = rec.split("\t")

@@ -26,7 +26,8 @@ import math
 from dataclasses import dataclass
 
 from . import cigar as C
-from .wfa_np import EndsFree, Penalties, wfa_align
+from .wfa_np import EndsFree, Penalties
+from .wfa_vec import wfa_align
 
 MIN_PATCH_LENGTH = 128
 MAX_ERODE_LENGTH = 4096

@@ -136,6 +136,11 @@ def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
 
 
 def make_engine(params: AlignParams):
+    """WFA engine factory. WFMASH_TPU_WFA_ENGINE=host|jax overrides the
+    default (jax with host fallback); tests use `host` where the device
+    path's correctness is covered by dedicated oracle tests."""
+    import os
+
     penalties = Penalties(
         params.wfa_patching_mismatch_score,
         params.wfa_patching_gap_opening_score1,
@@ -143,6 +148,9 @@ def make_engine(params: AlignParams):
         params.wfa_patching_gap_opening_score2,
         params.wfa_patching_gap_extension_score2,
     )
+    choice = os.environ.get("WFMASH_TPU_WFA_ENGINE", "auto")
+    if choice == "host":
+        return HostWfaEngine(penalties)
     try:
         from .wfa_jax import JaxWfaEngine
 

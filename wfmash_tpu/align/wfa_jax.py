@@ -40,7 +40,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .wfa_np import EndsFree, Penalties, wfa_align
+from .wfa_np import EndsFree, Penalties
+from .wfa_vec import wfa_align
 
 NEG_I = -(1 << 28)
 NEG = jnp.int32(NEG_I)
