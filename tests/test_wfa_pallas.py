@@ -1,0 +1,113 @@
+"""Pallas WFA sweep kernel vs the XLA sweep and the DP oracle.
+
+The Pallas kernel (wfa_pallas.py) must be bit-identical to wfa_jax._sweep
+(same tie-breaks and crossing rules). These tests run the kernel in
+interpret mode on CPU; the compiled path is exercised on real TPU by
+bench.py and by the same comparison harness run on hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wfmash_tpu.align import cigar as C
+from wfmash_tpu.align import wfa_jax as WJ
+from wfmash_tpu.align import wfa_pallas as WP
+from wfmash_tpu.align.wfa_jax import JaxWfaEngine
+from wfmash_tpu.align.wfa_np import Penalties, dp_align, score_cigar
+
+from test_wfa import make_pair
+
+PATCH = Penalties(5, 8, 2, 24, 1)
+WFLIGN = Penalties(2, 3, 1, 3, 1)
+
+
+def _sweep_both(rng, B, L, K, p):
+    """Run the XLA and Pallas sweeps on the same random batch; return
+    (xla results, pallas results) as (score, pv, ph) triples."""
+    ms, ns, qs, ts = [], [], [], []
+    for _ in range(B):
+        n = int(rng.integers(L // 2, L))
+        q, t = make_pair(rng, n, sub=0.05, indel=0.01, max_indel=6)
+        qa = np.frombuffer(q, np.uint8)
+        ta = np.frombuffer(t, np.uint8)
+        ms.append(len(qa))
+        ns.append(len(ta))
+        qs.append(qa)
+        ts.append(ta)
+    Lq = Lt = 1024
+    query = np.full((B, Lq), 0x01, np.uint8)
+    target = np.full((B, Lt), 0x02, np.uint8)
+    for i in range(B):
+        query[i, :ms[i]] = qs[i]
+        target[i, :ns[i]] = ts[i]
+    qlen = np.array(ms, np.int32)
+    tlen = np.array(ns, np.int32)
+    axis_q = qlen > tlen
+    mid = np.where(axis_q, qlen // 2, tlen // 2).astype(np.int32)
+
+    Kx = K + 1
+    R = WJ.ring_size(p)
+    off = np.full((B, R, 5, Kx), WJ.NEG_I, np.int32)
+    anc_v = np.full((B, R, 5, Kx), -1, np.int32)
+    anc_h = np.full((B, R, 5, Kx), -1, np.int32)
+    open_a = np.full((B, R, 4, Kx), -1, np.int32)
+    done0 = np.zeros(B, bool)
+    seed_off = np.full((B, K), WJ.NEG_I, np.int32)
+    seed_anc = np.full((B, K), WP.UNSET32, np.uint32)
+    for i in range(B):
+        l = WJ._lcp_np(qs[i], ts[i])
+        off[i, 0, WJ.M_, Kx // 2] = l
+        seed_off[i, K // 2] = l
+        if l >= ms[i] and l >= ns[i]:
+            done0[i] = True
+        elif l > mid[i]:
+            anc_v[i, 0, WJ.M_, Kx // 2] = mid[i]
+            anc_h[i, 0, WJ.M_, Kx // 2] = mid[i]
+            seed_anc[i, K // 2] = (np.uint32(mid[i]) << 16) | np.uint32(
+                mid[i])
+    max_s = int(p.mismatch * 2 * L + 64)
+
+    fs_x, pv_x, ph_x, fin_x = WJ._sweep(
+        jnp.asarray(off), jnp.asarray(anc_v), jnp.asarray(anc_h),
+        jnp.asarray(open_a), jnp.asarray(WJ._pack_words(query)),
+        jnp.asarray(WJ._pack_words(target)), jnp.asarray(qlen),
+        jnp.asarray(tlen), jnp.asarray(axis_q), jnp.asarray(mid),
+        jnp.asarray(done0), jnp.int32(max_s), K=Kx, R=R, penalties=p)
+    assert np.asarray(fin_x).all()
+
+    eng = WP.PallasSweeps(p, interpret=True, chunk_steps=32)
+    fs_p, pv_p, ph_p, fin_p = eng.sweep(
+        query, target, qlen, tlen, axis_q, mid, seed_off, seed_anc,
+        done0, max_s, K)
+    assert fin_p.all()
+    keep = ~done0
+    return ((np.asarray(fs_x)[keep], np.asarray(pv_x)[keep],
+             np.asarray(ph_x)[keep]),
+            (fs_p[keep], pv_p[keep], ph_p[keep]))
+
+
+@pytest.mark.parametrize("pen", [PATCH, WFLIGN], ids=["patch", "wflign"])
+def test_pallas_sweep_bit_identical(pen):
+    rng = np.random.default_rng(11)
+    (fs_x, pv_x, ph_x), (fs_p, pv_p, ph_p) = _sweep_both(
+        rng, B=3, L=260, K=256, p=pen)
+    np.testing.assert_array_equal(fs_p, fs_x)
+    np.testing.assert_array_equal(pv_p, pv_x)
+    np.testing.assert_array_equal(ph_p, ph_x)
+
+
+def test_pallas_engine_matches_oracle():
+    eng = JaxWfaEngine(PATCH, batch_size=4, host_len=100, max_span=257,
+                       backend="pallas-interpret")
+    rng = np.random.default_rng(5)
+    jobs = []
+    for _ in range(2):
+        n = int(rng.integers(160, 240))
+        q, t = make_pair(rng, n, sub=0.05, indel=0.01, max_indel=5)
+        jobs.append((q, t, None))
+    results = eng.align_batch(jobs)
+    for (q, t, _), ops in zip(jobs, results):
+        assert C.validate(ops, q, t, 0, 0)
+        assert score_cigar(ops, PATCH) == dp_align(q, t, PATCH)

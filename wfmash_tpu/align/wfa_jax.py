@@ -453,15 +453,38 @@ class _Sub:
 
 
 class JaxWfaEngine:
-    """Batched exact WFA engine (device sweeps + host recursion)."""
+    """Batched exact WFA engine (device sweeps + host recursion).
+
+    backend: "xla" (the _sweep kernel above), "pallas" (the VMEM-resident
+    Pallas kernel in wfa_pallas.py, bit-identical), or "auto" (pallas on
+    TPU, xla elsewhere). WFMASH_TPU_WFA_BACKEND overrides."""
 
     def __init__(self, penalties: Penalties, batch_size: int = 32,
-                 host_len: int = 1500, max_span: int = 4096 + 1):
+                 host_len: int = 1500, max_span: int = 4096 + 1,
+                 backend: str | None = None):
+        import os
+
         self.p = penalties
         self.R = ring_size(penalties)
         self.batch_size = batch_size
         self.HOST_LEN = host_len
         self.MAX_SPAN = max_span
+        backend = backend or os.environ.get("WFMASH_TPU_WFA_BACKEND", "auto")
+        if backend == "auto":
+            platform = jax.devices()[0].platform
+            backend = "xla" if platform == "cpu" else "pallas"
+        self.backend = backend
+        self._pallas = None
+
+    def _pallas_sweeps(self):
+        if self._pallas is None:
+            from .wfa_pallas import PallasSweeps
+
+            interp = self.backend == "pallas-interpret"
+            self._pallas = PallasSweeps(
+                self.p, interpret=interp,
+                chunk_steps=64 if interp else 1024)
+        return self._pallas
 
     # -- single-problem API ---------------------------------------------
     def align(self, query: bytes, target: bytes, ends_free: EndsFree | None = None):
@@ -589,31 +612,18 @@ class JaxWfaEngine:
                 axis_is_query[i] = True
         mid = np.where(axis_is_query, qlen // 2, tlen // 2).astype(np.int32)
 
-        off = np.full((B, R, 5, K), NEG_I, dtype=np.int32)
-        anc_v = np.full((B, R, 5, K), -1, dtype=np.int32)
-        anc_h = np.full((B, R, 5, K), -1, dtype=np.int32)
-        open_a = np.full((B, R, 4, K), -1, dtype=np.int32)
-
         # score-0 seeds: M[k=0] = LCP, with extension-crossing payload
         splits: list = [None] * B
         done0 = np.zeros(B, dtype=bool)
+        lcps = np.zeros(B, dtype=np.int32)
         for i in range(B):
             q, t = query[i, : ms[i]], target[i, : ns[i]]
             l = _lcp_np(q, t)
-            off[i, 0, M_, K // 2] = l
+            lcps[i] = l
             if l >= ms[i] and l >= ns[i]:
                 splits[i] = None  # perfect match; solved below
                 done0[i] = True
                 self._emit_trivial(batch[i], l)
-            else:
-                if axis_is_query[i]:
-                    if l > mid[i]:
-                        anc_v[i, 0, M_, K // 2] = mid[i]
-                        anc_h[i, 0, M_, K // 2] = mid[i]
-                else:
-                    if l > mid[i]:
-                        anc_v[i, 0, M_, K // 2] = mid[i]
-                        anc_h[i, 0, M_, K // 2] = mid[i]
 
         if done0.all():
             return splits
@@ -622,14 +632,43 @@ class JaxWfaEngine:
             self.p.mismatch * (max(ms) + max(ns))
             + self.p.gap_opening1 + self.p.gap_opening2 + 64
         )
-        f_score, f_pv, f_ph, finished = _sweep(
-            jnp.asarray(off), jnp.asarray(anc_v), jnp.asarray(anc_h),
-            jnp.asarray(open_a), jnp.asarray(query_w), jnp.asarray(target_w),
-            jnp.asarray(qlen), jnp.asarray(tlen),
-            jnp.asarray(axis_is_query), jnp.asarray(mid),
-            jnp.asarray(done0), jnp.int32(max_s),
-            K=K, R=R, penalties=self.p,
+        use_pallas = (
+            self.backend in ("pallas", "pallas-interpret")
+            and max(max(ms), max(ns)) < 65535  # u16 anchor packing bound
         )
+        if use_pallas:
+            from .wfa_pallas import UNSET32 as _UNS
+
+            Kp = K - 1  # even ladder step (lane dims are 128-multiples)
+            seed_off = np.full((B, Kp), NEG_I, np.int32)
+            seed_anc = np.full((B, Kp), _UNS, np.uint32)
+            for i in range(B):
+                seed_off[i, Kp // 2] = lcps[i]
+                if not done0[i] and lcps[i] > mid[i]:
+                    seed_anc[i, Kp // 2] = (
+                        (np.uint32(mid[i]) << 16) | np.uint32(mid[i]))
+            f_score, f_pv, f_ph, finished = self._pallas_sweeps().sweep(
+                query, target, qlen, tlen, axis_is_query, mid,
+                seed_off, seed_anc, done0, max_s, Kp)
+        else:
+            off = np.full((B, R, 5, K), NEG_I, dtype=np.int32)
+            anc_v = np.full((B, R, 5, K), -1, dtype=np.int32)
+            anc_h = np.full((B, R, 5, K), -1, dtype=np.int32)
+            open_a = np.full((B, R, 4, K), -1, dtype=np.int32)
+            for i in range(B):
+                off[i, 0, M_, K // 2] = lcps[i]
+                if not done0[i] and lcps[i] > mid[i]:
+                    anc_v[i, 0, M_, K // 2] = mid[i]
+                    anc_h[i, 0, M_, K // 2] = mid[i]
+            f_score, f_pv, f_ph, finished = _sweep(
+                jnp.asarray(off), jnp.asarray(anc_v), jnp.asarray(anc_h),
+                jnp.asarray(open_a), jnp.asarray(query_w),
+                jnp.asarray(target_w),
+                jnp.asarray(qlen), jnp.asarray(tlen),
+                jnp.asarray(axis_is_query), jnp.asarray(mid),
+                jnp.asarray(done0), jnp.int32(max_s),
+                K=K, R=R, penalties=self.p,
+            )
         finished = np.asarray(finished)
         if not finished.all():
             raise RuntimeError("WFA sweep failed to converge")
