@@ -200,9 +200,12 @@ def run_alignment(params: AlignParams, out) -> None:
 
     from .biwfa import align_records_batched
 
+    from ..utils.progress import ProgressMeter
+
     n_aligned = 0
     batch_size = 64
     live = [j for j in jobs if j is not None]
+    meter = ProgressMeter(max(len(live), 1), "[wfmash::align] aligning")
     for start in range(0, len(live), batch_size):
         chunk = live[start : start + batch_size]
         try:
@@ -220,6 +223,7 @@ def run_alignment(params: AlignParams, out) -> None:
                 except Exception as e2:
                     log(f"[wfmash::align] Error processing record: {e2}")
                     ops_list.append(None)
+        meter.increment(len(chunk))
         for job, ops in zip(chunk, ops_list):
             if ops is None:
                 continue
@@ -240,6 +244,7 @@ def run_alignment(params: AlignParams, out) -> None:
                 )
             n_aligned += 1
 
+    meter.finish()
     log(f"[wfmash::align] total aligned records = {n_aligned}")
 
 

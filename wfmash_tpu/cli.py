@@ -101,6 +101,13 @@ def parse_args(argv=None):
         print(f"wfmash-tpu {__version__} (wfmash {WFMASH_COMPAT_VERSION} compatible)")
         sys.exit(0)
 
+    # temp-file registry (-B dir, -Z keep; reference temp_file.hpp wiring
+    # at parse_args.hpp:786-809,923)
+    from .utils import tempfiles
+
+    tempfiles.set_dir(args.tmp_base)
+    tempfiles.set_keep_temp(args.keep_temp)
+
     mp = MapParams()
     ap = AlignParams()
 
@@ -324,26 +331,24 @@ def main(argv=None) -> int:
         run_mapping(mp, sys.stdout)
         return 0
 
-    # full map + align pipeline
-    import io as _io
-    import tempfile
+    # full map + align pipeline; the handoff PAF goes through the
+    # registry so -B places it and -Z preserves it
+    from .utils import tempfiles
 
     if remapping:
         paf_path = ap.mashmap_paf_file
     else:
-        tmp = tempfile.NamedTemporaryFile(
-            "w", prefix="wfmash-tpu-", suffix=".paf", delete=False
-        )
-        with tmp as fh:
+        paf_path = tempfiles.create(suffix=".paf")
+        with open(paf_path, "w") as fh:
             run_mapping(mp, fh)
-        paf_path = tmp.name
         ap.mashmap_paf_file = paf_path
+        if tempfiles.keep_temp():
+            print(f"[wfmash] keeping temp mapping PAF: {paf_path}",
+                  file=sys.stderr)
 
     from .align.engine import run_alignment
 
     run_alignment(ap, sys.stdout)
-    if not remapping:
-        os.unlink(paf_path)
     return 0
 
 

@@ -60,9 +60,13 @@ def scale_identity(identity: float) -> int:
 
 
 def scale_complexity(complexity: float) -> int:
-    """setKmerComplexity: roundf(float(c) * 100.0f) (base_types.hpp:210)."""
+    """setKmerComplexity: roundf(float(c) * 100.0f) (base_types.hpp:210).
+
+    Complexity can exceed 1.0 for tiny fragments (few k-mers, small
+    max-hash denominator); the reference's static_cast<uint8_t> then
+    wraps modulo 256 on x86, so reproduce that instead of overflowing."""
     x = float(np.float32(np.float32(complexity) * np.float32(100.0)))
-    return int(np.floor(x + 0.5))
+    return int(np.floor(x + 0.5)) & 0xFF
 
 
 def query_end(m) -> int:

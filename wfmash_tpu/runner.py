@@ -144,6 +144,13 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         else:
             index = build_subset(subset)
 
+        from .utils.progress import ProgressMeter
+
+        total_bp = sum(
+            idm.get_sequence_length(idm.get_sequence_id(q))
+            for q in query_names if q in idm.name_to_id)
+        meter = ProgressMeter(
+            max(total_bp, 1), "[wfmash::mashmap] mapping")
         for qname in query_names:
             seq = None
             for reader in query_readers.values():
@@ -153,6 +160,7 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
             if seq is None or len(seq) == 0:
                 continue
             result = mapper.map_query(qname, seq, index)
+            meter.increment(len(seq))
             if params.filter_mode == FILTER_ONETOONE:
                 qid = idm.get_sequence_id(qname)
                 combined.setdefault(qid, []).append(result.mappings)
@@ -161,6 +169,7 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
                     out, qname, result.query_len, result.mappings,
                     result.chain_info, idm, params.merge_mappings,
                 )
+        meter.finish()
 
     if params.filter_mode == FILTER_ONETOONE:
         _one_to_one_output(params, idm, mapper, combined, out)
