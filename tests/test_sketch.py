@@ -166,3 +166,38 @@ def test_winnow_records_well_formed():
         recs["hash"][1:] == recs["hash"][:-1]
     )
     assert not np.any(dup)
+
+
+def test_streaming_minhash_sketch_oracle():
+    """sketch_sequence_streaming vs a direct port of the reference heap
+    semantics (commonFunc.hpp:338-427, streamingMinHash.hpp:89-99)."""
+    import heapq
+
+    import numpy as np
+
+    from wfmash_tpu.sketch.kmers import canonical_kmer_hashes
+    from wfmash_tpu.sketch.winnow import sketch_sequence_streaming
+
+    rng = np.random.default_rng(3)
+    seq = bytes(rng.choice(list(b"ACGTN"), 600, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+    k, s, w = 9, 24, 50
+    pos, canon, _ = canonical_kmer_hashes(seq, k)
+
+    # reference: max-heap of the s smallest occurrences (multiset)
+    heap: list[int] = []
+    first = {}
+    for p, h in zip(pos.tolist(), canon.tolist()):
+        if h not in first:
+            first[h] = p
+        if len(heap) < s:
+            heapq.heappush(heap, -h)
+        elif h < -heap[0]:
+            heapq.heapreplace(heap, -h)
+    expect = sorted(-x for x in heap)
+    recs = sketch_sequence_streaming(seq, k, s, w, seq_id=7)
+    assert sorted(recs["hash"].tolist()) == expect
+    for r in recs:
+        assert r["wpos"] == first[int(r["hash"])]
+        assert r["wpos_end"] == r["wpos"] + w
+        assert r["seq_id"] == 7 and r["strand"] == 1
+    assert (np.diff(recs["wpos"]) >= 0).all()

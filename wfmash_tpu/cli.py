@@ -85,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-d", "--md-tag", action="store_true")
     g = p.add_argument_group("SYSTEM")
     g.add_argument("-t", "--threads", type=int, default=1)
+    g.add_argument("--streaming-minhash", action="store_true")
     g.add_argument("-B", "--tmp-base", metavar="PATH")
     g.add_argument("-Z", "--keep-temp", action="store_true")
     g.add_argument("--quiet", action="store_true")
@@ -239,6 +240,7 @@ def parse_args(argv=None):
     mp.threads = args.threads
     ap.threads = args.threads
     mp.sketch_size = args.sketch_size
+    mp.use_streaming_minhash = args.streaming_minhash
     mp.hg_numerator = args.hg_numerator
 
     if args.hg_filter:
@@ -306,6 +308,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> int:
+    from .utils.jaxcache import enable as _enable_jax_cache
+
+    _enable_jax_cache()
     mp, ap, approx_mapping, remapping = parse_args(argv)
 
     if mp.auto_pct_identity:

@@ -89,15 +89,24 @@ def build_index(
             skipped += 1
             continue
         total_bp += len(seq)
-        recs = winnow_minmers_native(
-            seq, params.kmer_size, params.window_length, params.sketch_size,
-            seq_id=seq_id,
-        )
-        if recs is None:  # native lib unavailable
-            recs = winnow_minmers(
+        if params.use_streaming_minhash and params.sketch_size > 0:
+            # experimental whole-sequence MinHash ref sketch
+            # (winSketch.hpp:472-483)
+            from ..sketch.winnow import sketch_sequence_streaming
+
+            recs = sketch_sequence_streaming(
+                seq, params.kmer_size, params.sketch_size,
+                params.window_length, seq_id)
+        else:
+            recs = winnow_minmers_native(
                 seq, params.kmer_size, params.window_length,
                 params.sketch_size, seq_id=seq_id,
             )
+            if recs is None:  # native lib unavailable
+                recs = winnow_minmers(
+                    seq, params.kmer_size, params.window_length,
+                    params.sketch_size, seq_id=seq_id,
+                )
         all_records.append(recs)
 
     if not all_records:

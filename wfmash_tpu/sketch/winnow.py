@@ -220,3 +220,35 @@ def _postprocess(records, window_size: int, seq_id: int) -> np.ndarray:
         keep_mask = np.concatenate([[True], ~same])
         arr = arr[keep_mask]
     return arr
+
+
+def sketch_sequence_streaming(seq_bytes, k: int, sketch_size: int,
+                              window_size: int, seq_id: int) -> np.ndarray:
+    """Whole-sequence streaming MinHash reference sketch
+    (--streaming-minhash, reference: commonFunc.hpp:338-427 +
+    streamingMinHash.hpp:89-99).
+
+    Multiset bottom-s over every canonical k-mer occurrence (duplicates
+    occupy sketch slots, as the reference max-heap does); each retained
+    occurrence emits one record anchored at the hash's FIRST position
+    with span window_size and strand FWD, sorted by wpos.
+    """
+    from .kmers import canonical_kmer_hashes
+
+    pos, canon, _vote = canonical_kmer_hashes(seq_bytes, k)
+    if len(canon) == 0:
+        return np.empty(0, dtype=RECORD_DTYPE)
+    order = np.argsort(canon, kind="stable")
+    kept = canon[order][:sketch_size]
+    # first occurrence position per hash
+    first_of = {}
+    for p, h in zip(pos.tolist(), canon.tolist()):
+        if h not in first_of:
+            first_of[h] = p
+    out = np.empty(len(kept), dtype=RECORD_DTYPE)
+    out["hash"] = kept
+    out["wpos"] = [first_of[h] for h in kept.tolist()]
+    out["wpos_end"] = out["wpos"] + window_size
+    out["seq_id"] = seq_id
+    out["strand"] = 1
+    return out[np.argsort(out["wpos"], kind="stable")]
