@@ -254,7 +254,8 @@ class Mapper:
 
     # -- filterSubsetMappings (computeMap.hpp:1076-1165) ----------------------
     def filter_subset_mappings(self, mappings: np.ndarray, query_seq_id: int,
-                               query_len: int, scaffold_writer=None):
+                               query_len: int, scaffold_writer=None,
+                               scaffold_anchor_keys: set | None = None):
         p = self.params
         if len(mappings) == 0:
             return mappings, np.empty(0, CHAIN_DTYPE)
@@ -287,7 +288,8 @@ class Mapper:
             merged, chain_info = merged[keep], chain_info[keep]
 
             survived = filter_by_scaffolds(
-                merged, p, self.group_of, self.seq_len_of, scaffold_writer
+                merged, p, self.group_of, self.seq_len_of, scaffold_writer,
+                anchor_keys_out=scaffold_anchor_keys,
             )
             chain_info = self._rebuild_chain_info(chain_info, survived, merged)
             merged = survived
@@ -300,7 +302,8 @@ class Mapper:
                     self.group_of, self.seq_len_of, p,
                 )
             out = filter_by_scaffolds(
-                out, p, self.group_of, self.seq_len_of, scaffold_writer
+                out, p, self.group_of, self.seq_len_of, scaffold_writer,
+                anchor_keys_out=scaffold_anchor_keys,
             )
             chain_info = np.zeros(len(out), dtype=CHAIN_DTYPE)
             chain_info["chain_id"] = np.arange(len(out))

@@ -71,6 +71,59 @@ def seed_to_mapping(rec, idm: SequenceIdManager):
     return m
 
 
+def write_annotated_rows(out, query_name, query_len, mappings, chain_info,
+                         idm, merge_mappings, cigars: dict,
+                         anchor_keys: set) -> None:
+    """PAF rows with the external-seeder extras (externalSeeder.hpp:
+    150-243): the seed's original cg:Z re-attached to mappings whose
+    exact coordinates survive, and st:Z:scaffold|rescued when scaffold
+    filtering ran (anchors vs rescued-by-distance)."""
+    import numpy as np
+
+    from ..io.paf import FLAG_REV, fake_mapq, fmt_float
+
+    if len(mappings) == 0:
+        return
+    order = np.argsort(mappings["query_start"], kind="stable")
+    for idx in order:
+        e = mappings[idx]
+        nuc_id = float(np.float32(e["nuc_identity"]) / np.float32(10000.0))
+        kc = float(np.float32(e["kmer_complexity"]) / np.float32(100.0))
+        q_start = int(e["query_start"])
+        r_start = int(e["ref_start"])
+        rid = int(e["ref_seq_id"])
+        rev = bool(int(e["flags"]) & FLAG_REV)
+        cols = [
+            query_name,
+            str(query_len),
+            str(q_start),
+            str(q_start + int(e["block_length"])),
+            "-" if rev else "+",
+            idm.get_sequence_name(rid),
+            str(idm.get_sequence_length(rid)),
+            str(r_start),
+            str(r_start + int(e["block_length"])),
+            str(int(e["conserved_sketches"])),
+            str(int(e["block_length"])),
+            fmt_float(fake_mapq(nuc_id)),
+            "id:f:" + fmt_float(nuc_id),
+            "kc:f:" + fmt_float(kc),
+        ]
+        if merge_mappings:
+            c = chain_info[idx]
+            cols.append(
+                f"ch:Z:{int(c['chain_id'])}.{int(c['chain_pos'])}."
+                f"{int(c['chain_len'])}")
+        cg = cigars.get((q_start, r_start, rid, rev))
+        if cg:
+            cols.append("cg:Z:" + cg)
+        if anchor_keys:
+            st = "scaffold" if (q_start, r_start, rid, rev) in anchor_keys \
+                else "rescued"
+            cols.append("st:Z:" + st)
+        out.write("\t".join(cols) + "\n")
+
+
 def process_external_seeds(params: MapParams, out) -> None:
     idm = SequenceIdManager(
         params.query_sequences,
@@ -95,11 +148,21 @@ def process_external_seeds(params: MapParams, out) -> None:
                 query_len = idm.get_sequence_length(qid)
         except KeyError:
             qid = 0
+        anchor_keys: set = set()
         filtered, chain_info = mapper.filter_subset_mappings(
-            mappings, qid, query_len
+            mappings, qid, query_len, scaffold_anchor_keys=anchor_keys
         )
-        write_mapping_rows(
+        # original CIGARs keyed by exact mapping coordinates
+        # (externalSeeder.hpp:176-186)
+        cigars = {}
+        for r in recs:
+            cg = r["tags"].get("cg")
+            if cg:
+                cigars[(r["query_start"], r["target_start"],
+                        idm.get_sequence_id(r["target_name"]),
+                        r["strand"] == "-")] = cg[1]
+        write_annotated_rows(
             out, query_name, query_len, filtered, chain_info, idm,
-            params.merge_mappings,
+            params.merge_mappings, cigars, anchor_keys,
         )
     log("[wfmash::externalSeeder] External seed processing complete")

@@ -109,9 +109,13 @@ def filter_by_scaffolds(
     group_of,
     seq_len_of,
     scaffold_writer=None,   # callable(chains_array) for --scaffold-out
+    anchor_keys_out: set | None = None,  # filled with anchor identity keys
 ) -> np.ndarray:
     """Scaffold synteny filter (mappingFilter.hpp:831-1016). Returns the
-    surviving subset of ``m`` (order preserved)."""
+    surviving subset of ``m`` (order preserved). When ``anchor_keys_out``
+    is given it collects (q_start, r_start, ref_seq_id, rev) keys of the
+    anchor mappings — the external seeder tags kept mappings
+    st:Z:scaffold/rescued from this set (externalSeeder.hpp:188-201)."""
     if params.scaffold_gap <= 0 or len(m) == 0:
         return m
 
@@ -168,6 +172,8 @@ def filter_by_scaffolds(
         )
         if np.any(ok):
             anchors.append(row)
+            if anchor_keys_out is not None:
+                anchor_keys_out.add((qs, rs, int(row["ref_seq_id"]), rev))
     if not anchors:
         return m[:0]
     anchors = np.array(anchors, dtype=m.dtype)
