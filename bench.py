@@ -25,7 +25,7 @@ def main() -> None:
     from wfmash_tpu.align.wfa_pallas import NEG_I, UNSET32, PallasSweeps
 
     p = Penalties(5, 8, 2, 24, 1)
-    B, K, L = 64, 1024, 16384
+    B, K, L = 64, 512, 16384  # the engine ladder picks K=512 here
     rng = np.random.default_rng(0)
     q = rng.integers(65, 69, (B, L), dtype=np.uint8)
     t = q.copy()
@@ -51,12 +51,12 @@ def main() -> None:
         return eng.sweep(query, target, qlen, tlen, axis_q, mid,
                          seed_off, seed_anc, done0, max_s=200000, K=K)
 
-    f_score, _, _, fin = run()  # compile + warm
+    f_score, _, _, fin, _clip = run()  # compile + warm
     assert fin.all()
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        f_score, _, _, fin = run()
+        f_score, _, _, fin, _ = run()
         best = min(best, time.time() - t0)
 
     cells = int(f_score.astype(np.int64).sum()) * K * 5

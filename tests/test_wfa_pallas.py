@@ -78,7 +78,7 @@ def _sweep_both(rng, B, L, K, p):
     assert np.asarray(fin_x).all()
 
     eng = WP.PallasSweeps(p, interpret=True, chunk_steps=32)
-    fs_p, pv_p, ph_p, fin_p = eng.sweep(
+    fs_p, pv_p, ph_p, fin_p, _clip = eng.sweep(
         query, target, qlen, tlen, axis_q, mid, seed_off, seed_anc,
         done0, max_s, K)
     assert fin_p.all()

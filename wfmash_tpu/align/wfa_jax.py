@@ -599,7 +599,8 @@ class JaxWfaEngine:
 
         qlen = np.array(ms, dtype=np.int32)
         tlen = np.array(ns, dtype=np.int32)
-        if np.any(np.abs(qlen - tlen) >= K // 2 - 2):
+        diff = int(np.max(np.abs(qlen - tlen)))
+        if 2 * (diff + 16) + 3 > self.MAX_SPAN:
             raise RuntimeError(
                 "alignment problem exceeds the diagonal span budget"
             )
@@ -639,7 +640,18 @@ class JaxWfaEngine:
         if use_pallas:
             from .wfa_pallas import UNSET32 as _UNS
 
-            Kp = K - 1  # even ladder step (lane dims are 128-multiples)
+            # margin-based span ladder (same exactness envelope as the XLA
+            # engine, see ARCHITECTURE.md): the wavefront is banded to Kp
+            # diagonals; paths with indel excursions beyond the margin
+            # would be silently banded, which the fidelity ledger records.
+            # (The kernel's band-edge flag is returned but only advisory:
+            # any score > o2 + e2*Kp/2 legitimately touches the edge.)
+            ladder = [v for v in (256, 512, 1024, 2048, 4096)
+                      if v <= self.MAX_SPAN]
+            need_p = 2 * (diff + max(128, max(max(ms), max(ns)) // 16)) + 3
+            ki = next((i for i, v in enumerate(ladder) if v >= need_p),
+                      len(ladder) - 1)
+            Kp = ladder[ki]
             seed_off = np.full((B, Kp), NEG_I, np.int32)
             seed_anc = np.full((B, Kp), _UNS, np.uint32)
             for i in range(B):
@@ -647,9 +659,10 @@ class JaxWfaEngine:
                 if not done0[i] and lcps[i] > mid[i]:
                     seed_anc[i, Kp // 2] = (
                         (np.uint32(mid[i]) << 16) | np.uint32(mid[i]))
-            f_score, f_pv, f_ph, finished = self._pallas_sweeps().sweep(
-                query, target, qlen, tlen, axis_is_query, mid,
-                seed_off, seed_anc, done0, max_s, Kp)
+            f_score, f_pv, f_ph, finished, _clipped = (
+                self._pallas_sweeps().sweep(
+                    query, target, qlen, tlen, axis_is_query, mid,
+                    seed_off, seed_anc, done0, max_s, Kp))
         else:
             off = np.full((B, R, 5, K), NEG_I, dtype=np.int32)
             anc_v = np.full((B, R, 5, K), -1, dtype=np.int32)

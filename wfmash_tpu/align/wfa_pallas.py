@@ -119,6 +119,7 @@ def _unpack_channel_major(words):
 def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                  n_steps: int, p: Penalties, CH: int):
     Rm, Rg = ring_sizes(p)
+    PBC = min(PB, 8)   # problems per refill fetch block (transient bound)
     x, o1, e1, o2, e2 = (p.mismatch, p.gap_opening1, p.gap_extension1,
                          p.gap_opening2, p.gap_extension2)
     def kernel(s0_ref, par_ref, qtab_ref, ttab_ref,
@@ -223,13 +224,16 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
 
                 @pl.when(any_stale)
                 def _():
-                    _chunk_body(c0)
+                    # sub-loop over problem blocks so fetch transients stay
+                    # bounded when PB > PBC (PB up to 32 at small K)
+                    for p0 in range(0, PB, PBC):
+                        _chunk_body(c0, p0)
                 return 0
 
-            def _chunk_body(c0):
+            def _chunk_body(c0, p0):
                 # per-chunk lane constants (values can't be dynamically
                 # sliced in Mosaic; h0 is re-read from its ref instead)
-                lane_c = (jax.lax.broadcasted_iota(jnp.int32, (PB, CH), 1)
+                lane_c = (jax.lax.broadcasted_iota(jnp.int32, (PBC, CH), 1)
                           + c0)
                 kvec_c = lane_c - K // 2
                 r_t_c = (-kvec_c) % WB
@@ -238,26 +242,26 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                 st_b_c = jnp.expand_dims(wr_c & 7, 2)
                 rbc = jnp.expand_dims(
                     ((r_t_c & 3) << 3).astype(jnp.uint32), 2)
-                h0c = h0_ref[:, pl.ds(c0, CH)]
+                h0c = h0_ref[p0:p0 + PBC, pl.ds(c0, CH)]
                 v0c = h0c - kvec_c
                 qblk_c = jnp.expand_dims(
                     jnp.clip(h0c // WB, 0, nbq - 1), 2)
                 tblk_c = jnp.expand_dims(
                     jnp.clip((v0c >> 8) + padb, 0, nbt - 1), 2)  # WB == 256
                 ohq = (qblk_c == jax.lax.broadcasted_iota(
-                    jnp.int32, (PB, CH, nbq), 2)).astype(jnp.bfloat16)
+                    jnp.int32, (PBC, CH, nbq), 2)).astype(jnp.bfloat16)
                 oht = (tblk_c == jax.lax.broadcasted_iota(
-                    jnp.int32, (PB, CH, nbt), 2)).astype(jnp.bfloat16)
+                    jnp.int32, (PBC, CH, nbt), 2)).astype(jnp.bfloat16)
                 winq = jax.lax.dot_general(
-                    ohq, qtab_ref[:],
+                    ohq, qtab_ref[p0:p0 + PBC],
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # (PB, CH, TWQ) exact u8 values
+                )  # (PBC, CH, TWQ) exact u8 values
                 wint = jax.lax.dot_general(
-                    oht, ttab_ref[:],
+                    oht, ttab_ref[p0:p0 + PBC],
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # (PB, CH, TWT)
+                )  # (PBC, CH, TWT)
 
                 def words(win, nw):
                     c = [win[:, :, i * nw:(i + 1) * nw]
@@ -265,15 +269,15 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                          .astype(jnp.uint32) for i in range(4)]
                     return c[0] | (c[1] << 8) | (c[2] << 16) | (c[3] << 24)
 
-                qw = words(winq, TWQ // 4)          # (PB, CH, EQW*4)
+                qw = words(winq, TWQ // 4)          # (PBC, CH, EQW*4)
                 tw = words(wint, TWT // 4)
                 # two-stage constant-mask alignment to word offset wr
                 NWA = EQB // 4 + 1          # aligned words needed (+spill)
-                ta = jnp.zeros((PB, CH, NWA + 9), jnp.uint32)
+                ta = jnp.zeros((PBC, CH, NWA + 9), jnp.uint32)
                 for a in range(8):
                     ta = jnp.where(st_a_c == a,
                                    tw[:, :, 8 * a:8 * a + NWA + 9], ta)
-                tb = jnp.zeros((PB, CH, NWA + 1), jnp.uint32)
+                tb = jnp.zeros((PBC, CH, NWA + 1), jnp.uint32)
                 for b in range(8):
                     tb = jnp.where(st_b_c == b, ta[:, :, b:b + NWA + 1], tb)
                 nwq = EQB // 4
@@ -281,7 +285,7 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                     rbc == 0, tb[:, :, :nwq],
                     (tb[:, :, :nwq] >> rbc)
                     | (tb[:, :, 1:nwq + 1] << (jnp.uint32(32) - rbc)))
-                xw = qw ^ tfin                      # (PB, CH, EQW*4)
+                xw = qw ^ tfin                      # (PBC, CH, EQW*4)
                 b0 = ((xw & 0x000000FF) == 0).astype(jnp.uint32)
                 b1 = ((xw & 0x0000FF00) == 0).astype(jnp.uint32)
                 b2 = ((xw & 0x00FF0000) == 0).astype(jnp.uint32)
@@ -294,10 +298,11 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                 xf = nib << ((ln & 7) << 2).astype(jnp.uint32)
                 for d in (1, 2, 4):
                     xf = xf | pltpu.roll(xf, nw - d, 2)
-                st_c = stale_ref[:, pl.ds(c0, CH)] != 0
+                st_c = stale_ref[p0:p0 + PBC, pl.ds(c0, CH)] != 0
                 for m in range(EQW):
-                    eq_ref[m, :, pl.ds(c0, CH)] = jnp.where(
-                        st_c, xf[:, :, 8 * m], eq_ref[m, :, pl.ds(c0, CH)])
+                    eq_ref[m, p0:p0 + PBC, pl.ds(c0, CH)] = jnp.where(
+                        st_c, xf[:, :, 8 * m],
+                        eq_ref[m, p0:p0 + PBC, pl.ds(c0, CH)])
                 return 0
 
             jax.lax.fori_loop(0, K // CH, chunk, 0)
@@ -414,6 +419,14 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
 
                 m_pre = m_off
                 m_ext = extend(m_off)
+                # span-clip detection: an active edge lane means a path
+                # reached the diagonal band boundary; the caller escalates
+                # to a wider span ladder step (term col 3)
+                edge_act = (((lane == 0) | (lane == K - 1))
+                            & (m_ext > NEG)).astype(jnp.int32)
+                term_ref[:, 3:4] = jnp.maximum(
+                    term_ref[:, 3:4],
+                    jnp.max(edge_act, axis=1, keepdims=True))
                 cr_t = ((~axis_q) & (m_anc == UNS) & (m_pre > NEG)
                         & (m_pre - kvec <= mid) & (m_ext - kvec > mid))
                 m_anc = jnp.where(cr_t, _pack(mid, mid + kvec), m_anc)
@@ -541,10 +554,11 @@ class PallasSweeps:
         ttab_np = np.ascontiguousarray(
             _build_window_table(target, nbt, TWT, padb, 0x00)).view(np.uint32)
 
-        PB = max(1, min(8, 8192 // K))
+        PB = max(1, min(32, 8192 // K))
         f_score = np.zeros(B, np.int32)
         f_anc = np.full(B, UNSET32, np.uint32)
         finished = done0.copy()
+        clipped = np.zeros(B, bool)
 
         # batch every host->device transfer across groups: the tunnel to a
         # remote chip makes per-group uploads the dominant cost otherwise
@@ -606,6 +620,7 @@ class PallasSweeps:
         for gi, (g0, hi, idx) in enumerate(groups):
             term_h = terms[gi]
             for j in range(hi - g0):
+                clipped[idx[j]] = bool(term_h[j, 3])
                 if done0[idx[j]] or not term_h[j, 0]:
                     continue
                 finished[idx[j]] = True
@@ -616,4 +631,4 @@ class PallasSweeps:
         f_pv = np.where(unset, -1, (f_anc >> 16).astype(np.int64))
         f_ph = np.where(unset, -1, (f_anc & 0xFFFF).astype(np.int64))
         return (f_score, f_pv.astype(np.int32), f_ph.astype(np.int32),
-                finished)
+                finished, clipped)
