@@ -570,13 +570,16 @@ class JaxWfaEngine:
         ms = [s.q1 - s.q0 for s in batch]
         ns = [s.t1 - s.t0 for s in batch]
 
-        def pow2(x):
-            return 1 << max(3, (int(x) - 1).bit_length())
+        def bucket(x):
+            # shared pow2 padding with Lq == Lt: every distinct
+            # (Lq, Lt, K) combination is a separate XLA/Mosaic compile,
+            # so tying the two sides (they differ by < K/2 anyway)
+            # halves the shape space across recursion rounds
+            return 1 << max(10, (int(x) - 1).bit_length())
 
         # +EXT_BYTES+8 sentinel padding so extension never needs masks;
         # distinct sentinels guarantee query/target mismatch out of range
-        Lq = pow2(max(ms) + EXT_BYTES + 8)
-        Lt = pow2(max(ns) + EXT_BYTES + 8)
+        Lq = Lt = bucket(max(max(ms), max(ns)) + EXT_BYTES + 8)
         # adaptive diagonal span: smallest ladder step covering the length
         # difference plus a generous indel-excursion margin (see
         # ARCHITECTURE.md "exactness envelope")
