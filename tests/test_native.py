@@ -25,3 +25,84 @@ def test_native_matches_python(seed, k, w, s):
     assert len(nat) == len(py)
     for f in ("hash", "wpos", "wpos_end", "seq_id", "strand"):
         np.testing.assert_array_equal(nat[f], py[f])
+
+
+def test_native_l1l2_bit_identical():
+    """Native l1_sweep/l2_walk vs the Python specs on random data."""
+    import numpy as np
+
+    import wfmash_tpu.native as native
+    from wfmash_tpu.index.build import build_index
+    from wfmash_tpu.map import l1l2
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.sketch.minhash import sketch_fragment
+    from util import random_dna
+
+    if native.get_l1l2_lib() is None:
+        import pytest
+
+        pytest.skip("native l1l2 unavailable")
+
+    rng = np.random.default_rng(9)
+    mp = MapParams(percentage_identity=0.85, auto_pct_identity=False,
+                   window_length=500, kmer_size=15)
+    mp.ref_sequences = mp.query_sequences = ["x"]
+    mp = mp.finalize()
+    base = random_dna(rng, 30_000)
+    seqs = [(0, base), (1, base[5_000:25_000])]
+    index = build_index(mp, seqs, log=lambda m: None)
+
+    from wfmash_tpu.map.stats import compute_sketch_cutoffs
+    cutoffs = compute_sketch_cutoffs(
+        mp.sketch_size, mp.kmer_size, 0.0, 0.999)
+
+    def run_all(frag):
+        sk = sketch_fragment(frag, mp.kmer_size, mp.sketch_size)
+        if sk.sketch_size == 0:
+            return None
+        pts = l1l2.get_seed_interval_points(
+            sk, index, 99, 99, lambda ids: np.asarray(ids) * 0 + 7, mp)
+        if len(pts) == 0:
+            return None
+        out = []
+        l1l2.compute_l1_candidate_regions(
+            sk.sketch_size, len(frag), pts, 2, mp, cutoffs, out)
+        l2s = []
+        for cand in out:
+            l2s.extend(l1l2.compute_l2_mapped_regions(
+                sk, len(frag), cand, index, mp))
+        return out, l2s
+
+    for trial in range(6):
+        start = int(rng.integers(0, 29_000))
+        frag = bytes(
+            bytearray(base[start:start + 500]))
+        # sprinkle mutations
+        fa = np.frombuffer(frag, np.uint8).copy()
+        mut = rng.random(len(fa)) < 0.05
+        fa[mut] = rng.integers(65, 69, int(mut.sum()))
+        frag = fa.tobytes()
+
+        res_native = run_all(frag)
+        # force python path
+        saved = (native._lib2, native._tried2)
+        native._lib2, native._tried2 = None, True
+        try:
+            res_python = run_all(frag)
+        finally:
+            native._lib2, native._tried2 = saved
+        assert (res_native is None) == (res_python is None)
+        if res_native is None:
+            continue
+        l1n, l2n = res_native
+        l1p, l2p = res_python
+        assert [(c.seq_id, c.range_start, c.range_end, c.intersection_size)
+                for c in l1n] == \
+               [(c.seq_id, c.range_start, c.range_end, c.intersection_size)
+                for c in l1p]
+        assert [(m.seq_id, m.mean_optimal_pos, m.optimal_start,
+                 m.optimal_end, m.shared_sketch_size, m.strand)
+                for m in l2n] == \
+               [(m.seq_id, m.mean_optimal_pos, m.optimal_start,
+                 m.optimal_end, m.shared_sketch_size, m.strand)
+                for m in l2p]

@@ -60,6 +60,22 @@ class MinmerIndex:
     total_windows: int = 0
     filtered_windows: int = 0
 
+    _soa_cache = None
+
+    def soa(self):
+        """Contiguous column arrays of minmer_index for the native L2
+        walker (hash, wpos, wpos_end, seq_id, strand)."""
+        if self._soa_cache is None:
+            mi = self.minmer_index
+            object.__setattr__(self, "_soa_cache", (
+                np.ascontiguousarray(mi["hash"], np.uint64),
+                np.ascontiguousarray(mi["wpos"], np.int64),
+                np.ascontiguousarray(mi["wpos_end"], np.int64),
+                np.ascontiguousarray(mi["seq_id"], np.int32),
+                np.ascontiguousarray(mi["strand"], np.int8),
+            ))
+        return self._soa_cache
+
     def lookup(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """For each query hash return (start, end) ranges into endpoints
         (empty range when the hash is absent)."""

@@ -103,10 +103,23 @@ def compute_l1_candidate_regions(
     window_len = max(0, q_len - params.window_length)
     cluster_len = params.window_length
 
-    pos = pts["pos"].astype(np.int64)
-    seq = pts["seq_id"].astype(np.int64)
-    side = pts["side"]
-    hashes = pts["hash"]
+    pos = np.ascontiguousarray(pts["pos"], dtype=np.int64)
+    seq = np.ascontiguousarray(pts["seq_id"], dtype=np.int64)
+    side = np.ascontiguousarray(pts["side"], dtype=np.int8)
+    hashes = np.ascontiguousarray(pts["hash"], dtype=np.uint64)
+
+    # native fast path (bit-identical C++ port; tests cross-check)
+    from ..native import l1_sweep_native
+
+    nat = l1_sweep_native(
+        pos, seq, side, hashes, window_len, minimum_hits,
+        params.stage1_topANI_filter, params.stage2_full_scan, sketch_size,
+        max(1.0, params.sketch_size / 1000.0), sketch_cutoffs)
+    if nat is not None:
+        local = [L1Candidate(seq_id=a, range_start=b, range_end=c,
+                             intersection_size=d) for (a, b, c, d) in nat]
+        _join_candidates(local, out, cluster_len)
+        return
 
     def sweep():
         """Yield (seq_id, position, coverage) per distinct event position."""
@@ -191,7 +204,11 @@ def compute_l1_candidate_regions(
     if in_cand:
         local.append(cand)
 
-    # join proximal candidates (mappingCore.hpp:287-300)
+    _join_candidates(local, out, cluster_len)
+
+
+def _join_candidates(local, out, cluster_len):
+    """join proximal candidates (mappingCore.hpp:287-300)"""
     for c in local:
         if (
             not out
@@ -309,6 +326,22 @@ def compute_l2_mapped_regions(
     (mappingCore.hpp:306-442)."""
     mi = index.minmer_index
     window_len = max(0, q_len - params.window_length)
+
+    # native fast path (bit-identical C++ port; tests cross-check)
+    from ..native import l2_walk_native
+
+    nat = l2_walk_native(
+        index.soa(), candidate.seq_id, candidate.range_start,
+        candidate.range_end, np.ascontiguousarray(sketch.hashes, np.uint64),
+        np.ascontiguousarray(sketch.strand, np.int8), window_len,
+        params.window_length)
+    if nat is not None:
+        return [
+            L2Mapping(seq_id=a, mean_optimal_pos=b, optimal_start=c,
+                      optimal_end=d, shared_sketch_size=e,
+                      strand=STRAND_FWD if f > 0 else STRAND_REV)
+            for (a, b, c, d, e, f) in nat
+        ]
 
     # lower_bound by (seq_id, wpos) >= (cand.seq_id, range_start - w - 1)
     lo_key_seq = candidate.seq_id

