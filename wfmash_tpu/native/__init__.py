@@ -171,10 +171,11 @@ def l1_sweep_native(pos, seq, side, hashes, window_len, minimum_hits,
         return None
     n = len(pos)
     cap = max(16, n)
-    global _l1_scratch
-    if _l1_scratch is None or len(_l1_scratch[0]) < cap:
-        _l1_scratch = tuple(np.empty(cap, np.int64) for _ in range(4))
-    o_seq, o_start, o_end, o_inter = _l1_scratch
+    scr = getattr(_tls, "l1", None)
+    if scr is None or len(scr[0]) < cap:
+        scr = tuple(np.empty(cap, np.int64) for _ in range(4))
+        _tls.l1 = scr
+    o_seq, o_start, o_end, o_inter = scr
     cut32 = np.ascontiguousarray(sketch_cutoffs, dtype=np.int32)
     m = lib.l1_sweep(
         _ptr(pos, ctypes.c_int64), _ptr(seq, ctypes.c_int64),
@@ -191,8 +192,9 @@ def l1_sweep_native(pos, seq, side, hashes, window_len, minimum_hits,
             for i in range(m)]
 
 
-_l1_scratch = None
-_l2_scratch = None
+import threading as _threading
+
+_tls = _threading.local()
 
 
 def l2_walk_native(soa, cand_seq, range_start, range_end,
@@ -204,10 +206,10 @@ def l2_walk_native(soa, cand_seq, range_start, range_end,
         return None
     mi_hash, mi_wpos, mi_wend, mi_seq, mi_strand = soa
     cap = 4096
-    global _l2_scratch
-    if _l2_scratch is None:
-        _l2_scratch = np.empty(cap * 6, np.int64)
-    out = _l2_scratch
+    out = getattr(_tls, "l2", None)
+    if out is None:
+        out = np.empty(cap * 6, np.int64)
+        _tls.l2 = out
     m = lib.l2_walk(
         _ptr(mi_hash, ctypes.c_uint64), _ptr(mi_wpos, ctypes.c_int64),
         _ptr(mi_wend, ctypes.c_int64), _ptr(mi_seq, ctypes.c_int32),

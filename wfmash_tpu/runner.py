@@ -42,6 +42,25 @@ def create_target_subsets(idm: SequenceIdManager, target_names: list[str],
     return subsets
 
 
+# fork-pool worker state: set in the parent right before the pool is
+# created; child processes inherit it via fork (copy-on-write index)
+_MP_STATE: dict = {}
+
+
+def _mp_run_one(qname):
+    mapper = _MP_STATE["mapper"]
+    index = _MP_STATE["index"]
+    readers = _MP_STATE["readers"]
+    seq = None
+    for reader in readers.values():
+        if qname in reader:
+            seq = reader.fetch(qname)
+            break
+    if seq is None or len(seq) == 0:
+        return None
+    return mapper.map_query(qname, seq, index)
+
+
 def filtered_names(names, prefixes, single_prefix=""):
     if single_prefix:
         return [n for n in names if n.startswith(single_prefix)]
@@ -151,16 +170,53 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
             for q in query_names if q in idm.name_to_id)
         meter = ProgressMeter(
             max(total_bp, 1), "[wfmash::mashmap] mapping")
-        for qname in query_names:
+
+        def run_one(qname):
             seq = None
             for reader in query_readers.values():
                 if qname in reader:
                     seq = reader.fetch(qname)
                     break
             if seq is None or len(seq) == 0:
-                continue
+                return None
             result = mapper.map_query(qname, seq, index)
             meter.increment(len(seq))
+            return result
+
+        # data-parallel queries (the reference's taskflow subflows,
+        # computeMap.hpp:532-689). Python-level orchestration holds the
+        # GIL, so real parallelism needs processes: fork shares the index
+        # copy-on-write. Output order is restored by input order.
+        import os as _os
+
+        results = None
+        if (params.threads > 1 and len(query_names) > 1
+                and (_os.cpu_count() or 1) > 1):
+            try:
+                import multiprocessing as mp_mod
+
+                ctx = mp_mod.get_context("fork")
+                _MP_STATE["mapper"] = mapper
+                _MP_STATE["index"] = index
+                _MP_STATE["readers"] = query_readers
+                with ctx.Pool(processes=min(params.threads,
+                                            len(query_names))) as pool:
+                    results = pool.map(_mp_run_one, query_names)
+                for r, q in zip(results, query_names):
+                    if r is not None:
+                        meter.increment(r.query_len)
+            except Exception as e:  # pragma: no cover - platform-specific
+                log(f"[wfmash::mashmap] fork pool unavailable ({e}); "
+                    "running single-threaded")
+                results = None
+            finally:
+                _MP_STATE.clear()
+        if results is None:
+            results = [run_one(q) for q in query_names]
+
+        for qname, result in zip(query_names, results):
+            if result is None:
+                continue
             if params.filter_mode == FILTER_ONETOONE:
                 qid = idm.get_sequence_id(qname)
                 combined.setdefault(qid, []).append(result.mappings)
