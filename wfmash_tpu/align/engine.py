@@ -203,7 +203,7 @@ def run_alignment(params: AlignParams, out) -> None:
     from ..utils.progress import ProgressMeter
 
     n_aligned = 0
-    batch_size = 64
+    batch_size = 256
     live = [j for j in jobs if j is not None]
     meter = ProgressMeter(max(len(live), 1), "[wfmash::align] aligning")
     for start in range(0, len(live), batch_size):

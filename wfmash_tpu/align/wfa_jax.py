@@ -459,8 +459,8 @@ class JaxWfaEngine:
     Pallas kernel in wfa_pallas.py, bit-identical), or "auto" (pallas on
     TPU, xla elsewhere). WFMASH_TPU_WFA_BACKEND overrides."""
 
-    def __init__(self, penalties: Penalties, batch_size: int = 32,
-                 host_len: int = 1500, max_span: int = 4096 + 1,
+    def __init__(self, penalties: Penalties, batch_size: int = 128,
+                 host_len: int = 3000, max_span: int = 4096 + 1,
                  backend: str | None = None):
         import os
 
