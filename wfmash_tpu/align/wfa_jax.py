@@ -460,7 +460,7 @@ class JaxWfaEngine:
     TPU, xla elsewhere). WFMASH_TPU_WFA_BACKEND overrides."""
 
     def __init__(self, penalties: Penalties, batch_size: int = 128,
-                 host_len: int = 3000, max_span: int = 4096 + 1,
+                 host_len: int = 1500, max_span: int = 4096 + 1,
                  backend: str | None = None):
         import os
 
@@ -468,6 +468,7 @@ class JaxWfaEngine:
         self.R = ring_size(penalties)
         self.batch_size = batch_size
         self.HOST_LEN = host_len
+        self.HOST_CELLS = 1_000_000   # adaptive leaf: score/2 * span bound
         self.MAX_SPAN = max_span
         backend = backend or os.environ.get("WFMASH_TPU_WFA_BACKEND", "auto")
         if backend == "auto":
@@ -524,7 +525,7 @@ class JaxWfaEngine:
                 if split is None:
                     # solved directly (trivial / host fallback)
                     continue
-                anchor_v, anchor_h = split
+                anchor_v, anchor_h, score = split
                 if anchor_v == 0 and anchor_h == 0:
                     # degenerate anchor (a gap opening at the origin crosses
                     # the midline) — re-sweep splitting the other axis
@@ -547,7 +548,14 @@ class JaxWfaEngine:
                     q_sub = seqs[sub.job_id][0][a:b].tobytes()
                     t_sub = seqs[sub.job_id][1][c:d].tobytes()
                     order = sub.order + (side,)
-                    if len(q_sub) <= self.HOST_LEN and len(t_sub) <= self.HOST_LEN:
+                    # adaptive leaf rule: host wfa_vec costs roughly
+                    # O(score x span); solve on host when that product is
+                    # small (measured ~17k cell-units/ms), else keep
+                    # splitting on device. score/2 upper-estimates a side.
+                    side_len = max(len(q_sub), len(t_sub))
+                    est = (score // 2 + 1) * side_len
+                    if (side_len <= self.HOST_LEN
+                            or est <= self.HOST_CELLS):
                         _, ops = wfa_align(q_sub, t_sub, self.p)
                         results[sub.job_id][order] = ops
                     else:
@@ -705,7 +713,7 @@ class JaxWfaEngine:
                 self._store(sub, ops)
                 splits[i] = None
             else:
-                splits[i] = (pv, ph)
+                splits[i] = (pv, ph, int(f_score[i]))
         return splits
 
     # bookkeeping helpers installed by align_batch
