@@ -308,6 +308,23 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except MemoryError:
+        # actionable OOM advice, mirroring the reference's new-handler
+        # (memory_handler.hpp:23-80, installed at main.cpp:68)
+        print(
+            "[wfmash] ERROR: memory allocation failed.\n"
+            "[wfmash] Try reducing memory usage:\n"
+            "[wfmash]   * reduce the target batch size (-b), e.g. -b 1g\n"
+            "[wfmash]   * reduce the number of threads (-t)\n"
+            "[wfmash]   * map in subsets (-R/-Q lists) and merge PAFs",
+            file=sys.stderr,
+        )
+        return 1
+
+
+def _main(argv=None) -> int:
     from .utils.jaxcache import enable as _enable_jax_cache
 
     _enable_jax_cache()
