@@ -98,6 +98,17 @@ def test_pallas_sweep_bit_identical(pen):
     np.testing.assert_array_equal(ph_p, ph_x)
 
 
+def test_pallas_sweep_wide_group():
+    """B=12 at K=256 packs PB=32 per group, exercising the refill's
+    8-problem sub-loop and group padding."""
+    rng = np.random.default_rng(13)
+    (fs_x, pv_x, ph_x), (fs_p, pv_p, ph_p) = _sweep_both(
+        rng, B=12, L=220, K=256, p=PATCH)
+    np.testing.assert_array_equal(fs_p, fs_x)
+    np.testing.assert_array_equal(pv_p, pv_x)
+    np.testing.assert_array_equal(ph_p, ph_x)
+
+
 def test_pallas_engine_matches_oracle():
     eng = JaxWfaEngine(PATCH, batch_size=4, host_len=100, max_span=257,
                        backend="pallas-interpret")
