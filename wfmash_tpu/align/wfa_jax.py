@@ -517,9 +517,27 @@ class JaxWfaEngine:
             else:
                 queue.append(_Sub(i, 0, len(q), 0, len(t), ()))
 
+        pallas_sel = self.backend in ("pallas", "pallas-interpret")
         while queue:
             batch = queue[: self.batch_size]
             queue = queue[self.batch_size :]
+            if pallas_sel:
+                # the pallas kernel packs (v,h) anchors into u16 halves;
+                # oversized problems (e.g. unsplit external -i records)
+                # go straight to the host solver rather than dragging the
+                # whole batch onto the XLA device path
+                keep = []
+                for sub in batch:
+                    if max(sub.q1 - sub.q0, sub.t1 - sub.t0) >= 65535:
+                        q = seqs[sub.job_id][0][sub.q0:sub.q1].tobytes()
+                        t = seqs[sub.job_id][1][sub.t0:sub.t1].tobytes()
+                        _, ops = wfa_align(q, t, self.p)
+                        self._store(sub, ops)
+                    else:
+                        keep.append(sub)
+                batch = keep
+                if not batch:
+                    continue
             splits = self._sweep_batch(batch, seqs)
             for sub, split in zip(batch, splits):
                 if split is None:
@@ -646,7 +664,7 @@ class JaxWfaEngine:
         )
         use_pallas = (
             self.backend in ("pallas", "pallas-interpret")
-            and max(max(ms), max(ns)) < 65535  # u16 anchor packing bound
+            and max(max(ms), max(ns)) < 65535  # guarded upstream; belt only
         )
         if use_pallas:
             from .wfa_pallas import UNSET32 as _UNS
