@@ -45,7 +45,7 @@ def main() -> None:
     seed_anc = np.full((B, K), UNSET32, np.uint32)
     done0 = np.zeros(B, bool)
 
-    eng = PallasSweeps(p, interpret=False, chunk_steps=1024)
+    eng = PallasSweeps(p, interpret=False)
 
     def run():
         return eng.sweep(query, target, qlen, tlen, axis_q, mid,

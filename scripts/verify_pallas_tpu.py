@@ -5,6 +5,12 @@ mutated pairs, both penalty sets. Run on a machine with a real TPU:
     python scripts/verify_pallas_tpu.py
 
 (tests/ run the same comparison in interpret mode on CPU.)"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

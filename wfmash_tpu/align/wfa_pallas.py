@@ -225,9 +225,15 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                 @pl.when(any_stale)
                 def _():
                     # sub-loop over problem blocks so fetch transients stay
-                    # bounded when PB > PBC (PB up to 32 at small K)
+                    # bounded when PB > PBC (PB up to 32 at small K); each
+                    # block re-checks staleness so clean problems skip
                     for p0 in range(0, PB, PBC):
-                        _chunk_body(c0, p0)
+                        blk_stale = jnp.any(
+                            stale_ref[p0:p0 + PBC, pl.ds(c0, CH)] != 0)
+
+                        @pl.when(blk_stale)
+                        def _(p0=p0):
+                            _chunk_body(c0, p0)
                 return 0
 
             def _chunk_body(c0, p0):
@@ -509,7 +515,7 @@ class PallasSweeps:
     scores per kernel launch until every problem converges."""
 
     def __init__(self, penalties: Penalties, interpret: bool = False,
-                 chunk_steps: int = 1024):
+                 chunk_steps: int = 4096):
         self.p = penalties
         self.interpret = interpret
         self.chunk_steps = chunk_steps
