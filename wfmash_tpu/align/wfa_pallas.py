@@ -212,7 +212,11 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                 near_i = jnp.maximum(
                     near_i, jnp.maximum(pltpu.roll(near_i, d, 1),
                                         pltpu.roll(near_i, K - d, 1)))
-            inact_keep = (~act) & ((near_i == 0) | (h0 == h0_ref[:, :]))
+            # a prediction that drifted less than two blocks still warms
+            # the activation well; refreshing on every one-block move kept
+            # the front-adjacent chunks permanently stale
+            drift = jnp.abs(h0 - h0_ref[:, :])
+            inact_keep = (~act) & ((near_i == 0) | (drift <= 3 * WB))
             keep = act_keep | inact_keep
             stale_ref[:, :] = 1 - keep.astype(jnp.int32)
             h0_ref[:, :] = jnp.where(keep, h0_ref[:, :], h0)
