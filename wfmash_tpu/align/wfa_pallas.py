@@ -50,7 +50,10 @@ UNSET32 = 0xFFFFFFFF
 WB = 256          # anchor alignment / table stride (bytes)
 EQB = 1024        # cached eq bits per diagonal
 EQW = EQB // 32   # u32 rows in the eq cache
-BSLACK = 192      # backward anchor slack: offsets oscillate below their max
+BSLACK = 512     # backward anchor slack: offsets swing hundreds
+                 # below their recent max (gap-ladder arrivals);
+                 # 512/1024 splits the window evenly (576+ starves
+                 # the forward room and churns instead)
 TWQ = EQB         # query window bytes (h0 is WB-aligned: no realignment)
 TWT = 1536        # target window bytes (WB phase + EQB + spill, tile-round)
 
