@@ -161,7 +161,6 @@ def _advance(off, anc_v, anc_h, open_a, s, query_b, target_b, qlen, tlen,
                 & valid
                 & (new_off == mid[:, None] + 1)
             )
-            cv = (new_off - 1) - (kvec + 1) + 1  # v of cells in this run
             # anchor at gap-open cell: (v_run, open_h); v during I run is
             # v = h - k of the OPEN cell = open_h - k_open... the run's v
             # is constant: v = new_off - k_new where k_new = k; compute:

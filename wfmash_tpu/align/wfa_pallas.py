@@ -94,21 +94,15 @@ def _build_window_table(seq: np.ndarray, n_rows: int, tw: int, pad_rows: int,
     return buf[:, idx.reshape(-1)].reshape(B, n_rows, tw)
 
 
-def _channel_major(tab_u8: np.ndarray) -> np.ndarray:
-    """(B, R, W) u8 windows -> channel-major cols [c0|c1|c2|c3] of the
-    little-endian u32 words, so static column slices recover channels."""
-    B, R, W = tab_u8.shape
-    w = tab_u8.reshape(B, R, W // 4, 4)
-    return np.concatenate([w[..., c] for c in range(4)], axis=2)
-
-
 @jax.jit
 def _unpack_channel_major(words):
     """(..., W//4) uint32 sequence words -> (..., W) bf16 channel-major.
 
-    Equivalent to _channel_major but runs on device: uploading raw u8
-    windows and unpacking with integer shifts is ~200x faster than
-    uploading/casting a bf16 table through the device tunnel."""
+    Produces channel-major cols [c0|c1|c2|c3] of the little-endian u32
+    sequence words, so static column slices recover byte channels inside
+    the kernel. Runs on device: uploading raw u8 windows and unpacking
+    with integer shifts is ~200x faster than uploading/casting a bf16
+    table through the device tunnel."""
     chans = [((words >> (8 * c)) & 0xFF).astype(jnp.int32)
              .astype(jnp.bfloat16) for c in range(4)]
     return jnp.concatenate(chans, axis=-1)
