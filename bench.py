@@ -27,10 +27,10 @@ def main() -> None:
     p = Penalties(5, 8, 2, 24, 1)
     B, K, L = 64, 512, 16384  # the engine ladder picks K=512 here
     rng = np.random.default_rng(0)
-    q = rng.integers(65, 69, (B, L), dtype=np.uint8)
+    q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, (B, L))]
     t = q.copy()
     mut = rng.random((B, L)) < 0.05
-    t[mut] = rng.integers(65, 69, int(mut.sum()), dtype=np.uint8)
+    t[mut] = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, int(mut.sum()))]
     m = L - 64
     query = np.full((B, L), 0x01, np.uint8)
     query[:, :m] = q[:, :m]

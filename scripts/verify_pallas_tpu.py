@@ -25,10 +25,10 @@ def mutate(q, rng, sub=0.05, ind=0.01):
     for ch in q:
         r = rng.random()
         if r < sub:
-            t.append(rng.integers(65, 69))
+            t.append(int(b"ACGT"[rng.integers(0, 4)]))
         elif r < sub + ind:
             if rng.random() < 0.5:
-                t.append(ch); t.append(rng.integers(65, 69))
+                t.append(ch); t.append(int(b"ACGT"[rng.integers(0, 4)]))
             # else deletion
         else:
             t.append(ch)
@@ -39,7 +39,7 @@ def run_case(rng, B, L, K, p, seed_mode="auto"):
     ms, ns, qs, ts = [], [], [], []
     for i in range(B):
         m = int(rng.integers(L // 2, L))
-        q = rng.integers(65, 69, m, dtype=np.uint8)
+        q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, m)]
         t = mutate(q, rng)
         ms.append(len(q)); ns.append(len(t)); qs.append(q); ts.append(t)
 

@@ -666,6 +666,12 @@ class JaxWfaEngine:
             and max(max(ms), max(ns)) < 65535  # guarded upstream; belt only
         )
         if use_pallas:
+            # the pallas kernel packs symbols to 4-bit codes; anything
+            # outside normalized DNA + sentinels goes to the XLA sweep
+            from .wfa_pallas import is_encodable
+
+            use_pallas = is_encodable(query) and is_encodable(target)
+        if use_pallas:
             from .wfa_pallas import UNSET32 as _UNS
 
             # margin-based span ladder (same exactness envelope as the XLA

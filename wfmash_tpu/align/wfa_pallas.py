@@ -46,16 +46,37 @@ from .wfa_np import Penalties
 NEG_I = -(1 << 28)
 UNSET32 = 0xFFFFFFFF
 
-# eq-bit cache geometry
-WB = 256          # anchor alignment / table stride (bytes)
+# eq-bit cache geometry (units are SYMBOLS; sequences are 4-bit packed:
+# 8 symbols per u32 word, halving the refill fetch/align/upload work)
+WB = 256          # anchor alignment / table stride (symbols)
 EQB = 1024        # cached eq bits per diagonal
 EQW = EQB // 32   # u32 rows in the eq cache
 BSLACK = 512     # backward anchor slack: offsets swing hundreds
                  # below their recent max (gap-ladder arrivals);
                  # 512/1024 splits the window evenly (576+ starves
                  # the forward room and churns instead)
-TWQ = EQB         # query window bytes (h0 is WB-aligned: no realignment)
-TWT = 1536        # target window bytes (WB phase + EQB + spill, tile-round)
+TWQ = EQB         # query window symbols (h0 is WB-aligned: no realignment)
+TWT = 1536        # target window symbols (WB phase + EQB + spill)
+SPW = 8           # symbols per packed u32 word
+
+# 4-bit symbol codes: the engine only sweeps normalized DNA (the aligner
+# uppercases and maps non-ACGT to N first); the alphabet guard in
+# wfa_jax routes anything else away from this kernel. Code 0 is the
+# table out-of-range fill, 6/7 the query/target length sentinels — all
+# mutually distinct so boundary symbols never compare equal.
+ENCODE_LUT = np.zeros(256, np.uint8)
+for _b, _c in ((ord("A"), 1), (ord("C"), 2), (ord("G"), 3), (ord("T"), 4),
+               (ord("N"), 5), (0x01, 6), (0x02, 7)):
+    ENCODE_LUT[_b] = _c
+ALPHABET = frozenset(b"ACGTN\x01\x02\x00")
+
+
+def is_encodable(seq: np.ndarray) -> bool:
+    """True iff every byte has a 4-bit code (0x00 fill included)."""
+    if len(seq) == 0:
+        return True
+    u = np.unique(seq)
+    return bool(np.all((ENCODE_LUT[u] != 0) | (u == 0)))
 
 
 def ring_sizes(p: Penalties) -> tuple[int, int]:
@@ -80,18 +101,21 @@ def _pack(v, h):
     return (v.astype(jnp.uint32) << 16) | (h.astype(jnp.uint32) & 0xFFFF)
 
 
-def _build_window_table(seq: np.ndarray, n_rows: int, tw: int, pad_rows: int,
-                        fill: int) -> np.ndarray:
-    """(B, L) u8 -> (B, n_rows, tw) u8 overlapping windows of stride WB,
-    row r covering bytes [(r - pad_rows)*WB, +tw); out-of-range = fill
-    (distinct from every in-alphabet byte and both sentinels)."""
+def _build_window_table(seq: np.ndarray, n_rows: int, tw: int,
+                        pad_rows: int) -> np.ndarray:
+    """(B, L) u8 sequence bytes -> (B, n_rows, tw//2) packed 4-bit
+    windows of stride WB symbols, row r covering symbols
+    [(r - pad_rows)*WB, +tw); out-of-range symbols encode to 0."""
     B, L = seq.shape
+    codes = ENCODE_LUT[seq]
     lo = -pad_rows * WB
     hi = (n_rows - 1 - pad_rows) * WB + tw
-    buf = np.full((B, hi - lo), fill, np.uint8)
-    buf[:, -lo:-lo + L] = seq
+    buf = np.zeros((B, hi - lo), np.uint8)
+    buf[:, -lo:-lo + L] = codes
     idx = np.arange(n_rows)[:, None] * WB + np.arange(tw)[None, :]
-    return buf[:, idx.reshape(-1)].reshape(B, n_rows, tw)
+    win = buf[:, idx.reshape(-1)].reshape(B, n_rows, tw)
+    packed = win[:, :, 0::2] | (win[:, :, 1::2] << 4)
+    return np.ascontiguousarray(packed)
 
 
 @jax.jit
@@ -244,11 +268,11 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                           + c0)
                 kvec_c = lane_c - K // 2
                 r_t_c = (-kvec_c) % WB
-                wr_c = r_t_c >> 2
-                st_a_c = jnp.expand_dims(wr_c >> 3, 2)
-                st_b_c = jnp.expand_dims(wr_c & 7, 2)
+                wr_c = r_t_c >> 3            # packed word = 8 symbols
+                st_a_c = jnp.expand_dims(wr_c >> 2, 2)
+                st_b_c = jnp.expand_dims(wr_c & 3, 2)
                 rbc = jnp.expand_dims(
-                    ((r_t_c & 3) << 3).astype(jnp.uint32), 2)
+                    ((r_t_c & 7) << 2).astype(jnp.uint32), 2)  # nibbles
                 h0c = h0_ref[p0:p0 + PBC, pl.ds(c0, CH)]
                 v0c = h0c - kvec_c
                 qblk_c = jnp.expand_dims(
@@ -276,39 +300,39 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                          .astype(jnp.uint32) for i in range(4)]
                     return c[0] | (c[1] << 8) | (c[2] << 16) | (c[3] << 24)
 
-                qw = words(winq, TWQ // 4)          # (PBC, CH, EQW*4)
-                tw = words(wint, TWT // 4)
+                qw = words(winq, TWQ // SPW)        # (PBC, CH, 128)
+                tw = words(wint, TWT // SPW)        # (PBC, CH, 192)
                 # two-stage constant-mask alignment to word offset wr
-                NWA = EQB // 4 + 1          # aligned words needed (+spill)
-                ta = jnp.zeros((PBC, CH, NWA + 9), jnp.uint32)
+                NWA = EQB // SPW + 1        # aligned words needed (+spill)
+                ta = jnp.zeros((PBC, CH, NWA + 4), jnp.uint32)
                 for a in range(8):
                     ta = jnp.where(st_a_c == a,
-                                   tw[:, :, 8 * a:8 * a + NWA + 9], ta)
+                                   tw[:, :, 4 * a:4 * a + NWA + 4], ta)
                 tb = jnp.zeros((PBC, CH, NWA + 1), jnp.uint32)
-                for b in range(8):
+                for b in range(4):
                     tb = jnp.where(st_b_c == b, ta[:, :, b:b + NWA + 1], tb)
-                nwq = EQB // 4
+                nwq = EQB // SPW
                 tfin = jnp.where(
                     rbc == 0, tb[:, :, :nwq],
                     (tb[:, :, :nwq] >> rbc)
                     | (tb[:, :, 1:nwq + 1] << (jnp.uint32(32) - rbc)))
-                xw = qw ^ tfin                      # (PBC, CH, EQW*4)
-                b0 = ((xw & 0x000000FF) == 0).astype(jnp.uint32)
-                b1 = ((xw & 0x0000FF00) == 0).astype(jnp.uint32)
-                b2 = ((xw & 0x00FF0000) == 0).astype(jnp.uint32)
-                b3 = ((xw & jnp.uint32(0xFF000000)) == 0).astype(jnp.uint32)
-                nib = b0 | (b1 << 1) | (b2 << 2) | (b3 << 3)
+                xw = qw ^ tfin                      # (PBC, CH, 128)
+                # per-symbol equality: nibble j of xw is zero
+                bits8 = jnp.zeros(xw.shape, jnp.uint32)
+                for j in range(8):
+                    nz = ((xw >> jnp.uint32(4 * j)) & 0xF) == 0
+                    bits8 = bits8 | (nz.astype(jnp.uint32) << j)
                 # pre-shift + log-step roll-fold: Mosaic miscompiles the
                 # extract-single-lane-then-shift-or form of this fold
-                nw = nib.shape[2]
-                ln = jax.lax.broadcasted_iota(jnp.int32, nib.shape, 2)
-                xf = nib << ((ln & 7) << 2).astype(jnp.uint32)
-                for d in (1, 2, 4):
+                nw = bits8.shape[2]
+                ln = jax.lax.broadcasted_iota(jnp.int32, bits8.shape, 2)
+                xf = bits8 << ((ln & 3) << 3).astype(jnp.uint32)
+                for d in (1, 2):
                     xf = xf | pltpu.roll(xf, nw - d, 2)
                 st_c = stale_ref[p0:p0 + PBC, pl.ds(c0, CH)] != 0
                 for m in range(EQW):
                     eq_ref[m, p0:p0 + PBC, pl.ds(c0, CH)] = jnp.where(
-                        st_c, xf[:, :, 8 * m],
+                        st_c, xf[:, :, 4 * m],
                         eq_ref[m, p0:p0 + PBC, pl.ds(c0, CH)])
                 return 0
 
@@ -554,12 +578,11 @@ class PallasSweeps:
         padb = K // 512 + 2
         nbq = query.shape[1] // WB + 1
         nbt = target.shape[1] // WB + padb + K // 256 + 4
-        # sentinel discipline: q pads 0x01, t pads 0x02, table pads 0x00 —
-        # mutually distinct and distinct from the ACGTN alphabet.
-        qtab_np = np.ascontiguousarray(
-            _build_window_table(query, nbq, TWQ, 0, 0x00)).view(np.uint32)
-        ttab_np = np.ascontiguousarray(
-            _build_window_table(target, nbt, TWT, padb, 0x00)).view(np.uint32)
+        # sentinel discipline: q pads 0x01 (code 6), t pads 0x02 (code 7),
+        # table out-of-range fills code 0 — mutually distinct and distinct
+        # from the ACGTN codes, so runs stop at every boundary.
+        qtab_np = _build_window_table(query, nbq, TWQ, 0).view(np.uint32)
+        ttab_np = _build_window_table(target, nbt, TWT, padb).view(np.uint32)
 
         PB = max(1, min(32, 8192 // K))
         f_score = np.zeros(B, np.int32)
