@@ -317,11 +317,17 @@ def _make_kernel(PB: int, K: int, nbq: int, nbt: int, padb: int,
                     (tb[:, :, :nwq] >> rbc)
                     | (tb[:, :, 1:nwq + 1] << (jnp.uint32(32) - rbc)))
                 xw = qw ^ tfin                      # (PBC, CH, 128)
-                # per-symbol equality: nibble j of xw is zero
-                bits8 = jnp.zeros(xw.shape, jnp.uint32)
-                for j in range(8):
-                    nz = ((xw >> jnp.uint32(4 * j)) & 0xF) == 0
-                    bits8 = bits8 | (nz.astype(jnp.uint32) << j)
+                # per-symbol equality, SWAR: nibble j of xw is zero.
+                # Codes are <= 7 so (n & 7) + 7 never carries across
+                # nibbles and bit 4j+3 of t is set iff nibble j != 0;
+                # the multiply then compresses the 4-spaced flag bits
+                # (4j -> 28+j) into one byte per 16-bit half.
+                t7 = ((xw & 0x77777777) + jnp.uint32(0x77777777)) | xw
+                zf = (~t7 & jnp.uint32(0x88888888)) >> 3
+                MC = jnp.uint32((1 << 28) | (1 << 25) | (1 << 22) | (1 << 19))
+                b_lo = ((zf & 0xFFFF) * MC) >> 28
+                b_hi = ((zf >> 16) * MC) >> 28
+                bits8 = (b_lo & 0xF) | ((b_hi & 0xF) << 4)
                 # pre-shift + log-step roll-fold: Mosaic miscompiles the
                 # extract-single-lane-then-shift-or form of this fold
                 nw = bits8.shape[2]
