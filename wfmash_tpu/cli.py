@@ -109,6 +109,11 @@ def parse_args(argv=None):
     tempfiles.set_dir(args.tmp_base)
     tempfiles.set_keep_temp(args.keep_temp)
 
+    if args.quiet:
+        from .utils.progress import set_quiet
+
+        set_quiet(True)
+
     mp = MapParams()
     ap = AlignParams()
 

@@ -13,6 +13,15 @@ import sys
 import threading
 import time
 
+# --quiet: disable the updater output entirely (reference:
+# parse_args.hpp:175 sets use_progress_bar = !quiet)
+QUIET = False
+
+
+def set_quiet(q: bool) -> None:
+    global QUIET
+    QUIET = bool(q)
+
 
 class ProgressMeter:
     def __init__(self, total: int, banner: str,
@@ -50,11 +59,14 @@ class ProgressMeter:
     def _updater(self) -> None:
         interval = 0.5 if self._is_tty else self._hb
         while not self._done.wait(interval):
-            self._render()
+            if not QUIET:
+                self._render()
 
     def finish(self) -> None:
         self._done.set()
         self._thread.join(timeout=1.0)
+        if QUIET:
+            return
         elapsed = time.monotonic() - self._t0
         if self._is_tty:
             sys.stderr.write("\n")
