@@ -122,3 +122,26 @@ def test_pallas_engine_matches_oracle():
     for (q, t, _), ops in zip(jobs, results):
         assert C.validate(ops, q, t, 0, 0)
         assert score_cigar(ops, PATCH) == dp_align(q, t, PATCH)
+
+
+def test_pallas_span_escalation(capfd):
+    """A balanced 300-bp excursion (insertion in the query, unrelated
+    insertion in the target, |m-n| = 0) exceeds the initial K=512 band
+    half-width (255): the kernel's band-edge flag must escalate the sweep
+    to K=1024 and still produce the globally exact score (VERDICT round-1
+    weak #3: no silent banding)."""
+    from util import random_dna
+
+    rng = np.random.default_rng(21)
+    s = random_dna(rng, 700)
+    ins = random_dna(rng, 300)
+    jns = random_dna(rng, 300)
+    query = s[:200] + ins + s[200:]
+    target = s[:500] + jns + s[500:]
+    eng = JaxWfaEngine(PATCH, batch_size=4, host_len=100, max_span=4097,
+                       backend="pallas-interpret")
+    ops = eng.align_batch([(query, target, None)])[0]
+    err = capfd.readouterr().err
+    assert "span escalation" in err
+    assert C.validate(ops, query, target, 0, 0)
+    assert score_cigar(ops, PATCH) == dp_align(query, target, PATCH)

@@ -52,6 +52,12 @@ CHUNK = 64
 M_, I1_, I2_, D1_, D2_ = 0, 1, 2, 3, 4
 
 
+def _wfa_log(msg: str) -> None:
+    import sys
+
+    print(msg, file=sys.stderr)
+
+
 def ring_size(p: Penalties) -> int:
     return max(
         p.mismatch,
@@ -674,29 +680,61 @@ class JaxWfaEngine:
         if use_pallas:
             from .wfa_pallas import UNSET32 as _UNS
 
-            # margin-based span ladder (same exactness envelope as the XLA
-            # engine, see ARCHITECTURE.md): the wavefront is banded to Kp
-            # diagonals; paths with indel excursions beyond the margin
-            # would be silently banded, which the fidelity ledger records.
-            # (The kernel's band-edge flag is returned but only advisory:
-            # any score > o2 + e2*Kp/2 legitimately touches the edge.)
+            # margin-based span ladder (exactness envelope, ARCHITECTURE.md):
+            # the wavefront is banded to Kp diagonals. Band-edge contact
+            # (the kernel's clipped flag) triggers ESCALATION to the next
+            # ladder step unless the final score certifies the band: any
+            # path leaving the band pays >= 2*margin*min(e1,e2) in gap
+            # extensions for the out-and-back excursion, so a banded score
+            # strictly below that bound is globally optimal.
             ladder = [v for v in (256, 512, 1024, 2048, 4096)
                       if v <= self.MAX_SPAN]
             need_p = 2 * (diff + max(128, max(max(ms), max(ns)) // 16)) + 3
             ki = next((i for i, v in enumerate(ladder) if v >= need_p),
                       len(ladder) - 1)
-            Kp = ladder[ki]
-            seed_off = np.full((B, Kp), NEG_I, np.int32)
-            seed_anc = np.full((B, Kp), _UNS, np.uint32)
-            for i in range(B):
-                seed_off[i, Kp // 2] = lcps[i]
-                if not done0[i] and lcps[i] > mid[i]:
-                    seed_anc[i, Kp // 2] = (
-                        (np.uint32(mid[i]) << 16) | np.uint32(mid[i]))
-            f_score, f_pv, f_ph, finished, _clipped = (
-                self._pallas_sweeps().sweep(
+            e_min = min(self.p.gap_extension1, self.p.gap_extension2)
+            adiff = np.abs(qlen - tlen)
+            f_score = np.zeros(B, np.int32)
+            f_pv = np.full(B, -1, np.int32)
+            f_ph = np.full(B, -1, np.int32)
+            finished = done0.copy()
+            remaining = ~done0
+            while True:
+                Kp = ladder[ki]
+                seed_off = np.full((B, Kp), NEG_I, np.int32)
+                seed_anc = np.full((B, Kp), _UNS, np.uint32)
+                for i in range(B):
+                    seed_off[i, Kp // 2] = lcps[i]
+                    if remaining[i] and lcps[i] > mid[i]:
+                        seed_anc[i, Kp // 2] = (
+                            (np.uint32(mid[i]) << 16) | np.uint32(mid[i]))
+                s, pv, ph, fin, clip = self._pallas_sweeps().sweep(
                     query, target, qlen, tlen, axis_is_query, mid,
-                    seed_off, seed_anc, done0, max_s, Kp))
+                    seed_off, seed_anc, ~remaining, max_s, Kp)
+                solved = remaining & np.asarray(fin)
+                f_score[solved] = s[solved]
+                f_pv[solved] = pv[solved]
+                f_ph[solved] = ph[solved]
+                finished |= solved
+                margin = (Kp - 1) // 2 - adiff
+                certified = s.astype(np.int64) < 2 * e_min * margin
+                retry = solved & np.asarray(clip) & ~certified
+                if not retry.any():
+                    break
+                if ki + 1 >= len(ladder):
+                    _wfa_log(
+                        f"[wfmash::align] warning: {int(retry.sum())} "
+                        f"problem(s) touched the K={Kp} band edge above the "
+                        "certificate bound at max span; result may be "
+                        "banded (fidelity ledger)")
+                    break
+                _wfa_log(
+                    f"[wfmash::align] span escalation: {int(retry.sum())} "
+                    f"problem(s) clipped at K={Kp}, re-running at "
+                    f"K={ladder[ki + 1]}")
+                finished &= ~retry
+                remaining = retry
+                ki += 1
         else:
             off = np.full((B, R, 5, K), NEG_I, dtype=np.int32)
             anc_v = np.full((B, R, 5, K), -1, dtype=np.int32)

@@ -575,7 +575,9 @@ class PallasSweeps:
               done0: np.ndarray, max_s: int, K: int):
         """query/target: (B, L) u8, padded with sentinel bytes 0x01/0x02.
         seed_off/seed_anc: (B, K) score-0 M wavefront (+packed anchors).
-        Returns (f_score, f_pv, f_ph, finished) as numpy arrays."""
+        Returns (f_score, f_pv, f_ph, finished, clipped) as numpy
+        arrays; ``clipped`` marks problems whose paths touched the
+        diagonal band edge (span-escalation signal)."""
         p = self.p
         Rm, Rg = ring_sizes(p)
         B = query.shape[0]
@@ -606,7 +608,7 @@ class PallasSweeps:
                 groups.append((g0, hi, idx))
         if not groups:
             return (f_score, np.full(B, -1, np.int32),
-                    np.full(B, -1, np.int32), finished)
+                    np.full(B, -1, np.int32), finished, clipped)
         G = len(groups)
         all_idx = np.array([g[2] for g in groups])          # (G, PB)
         par = np.zeros((G, PB, 128), np.int32)

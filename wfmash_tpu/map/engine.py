@@ -274,11 +274,17 @@ class Mapper:
             merged, chain_info = merged[keep], chain_info[keep]
 
             if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
+                pre_filter = merged
                 merged = filter_by_group(
                     merged, p.num_mappings_for_segment - 1, False,
                     self.group_of, self.seq_len_of, p,
                 )
-                chain_info = self._rebuild_chain_info(chain_info, merged)
+                # re-match by row bytes against the pre-filter superset so
+                # ch:Z:id.pos.len chain tags survive the group filter's
+                # resort (reference keeps chainInfo parallel through
+                # filterByGroup, mappingOutput.hpp:25-169)
+                chain_info = self._rebuild_chain_info(
+                    chain_info, merged, pre_filter)
 
             if p.filter_length_mismatches:
                 keep = filter_false_high_identity(merged, p)

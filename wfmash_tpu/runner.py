@@ -201,10 +201,13 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
                 _MP_STATE["readers"] = query_readers
                 with ctx.Pool(processes=min(params.threads,
                                             len(query_names))) as pool:
-                    results = pool.map(_mp_run_one, query_names)
-                for r, q in zip(results, query_names):
-                    if r is not None:
-                        meter.increment(r.query_len)
+                    # imap (not map): children can't advance the parent's
+                    # progress meter, so tick it as each result arrives
+                    results = []
+                    for r in pool.imap(_mp_run_one, query_names):
+                        results.append(r)
+                        if r is not None:
+                            meter.increment(r.query_len)
             except Exception as e:  # pragma: no cover - platform-specific
                 log(f"[wfmash::mashmap] fork pool unavailable ({e}); "
                     "running single-threaded")
