@@ -1,0 +1,113 @@
+"""Full-history segment kernel (wfa_pallas_seg) vs the wfa_np spec.
+
+The device backtrace must produce BIT-IDENTICAL CIGARs to the host
+reference (same recurrences, same tie-breaks): the kernel replaces the
+host leaf solver inside the exact engine, so byte equality — not just
+score equality — is the bar. Runs in interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from wfmash_tpu.align.wfa_np import Penalties, wfa_align
+from wfmash_tpu.align.wfa_pallas_seg import SegmentSolver
+
+from test_wfa import make_pair
+from util import random_dna
+
+PATCH = Penalties(5, 8, 2, 24, 1)
+WFLIGN = Penalties(2, 3, 1, 3, 1)
+
+
+def _check(jobs, p, solver=None):
+    solver = solver or SegmentSolver(p, interpret=True)
+    got = solver.solve(jobs)
+    for (q, t), ops in zip(jobs, got):
+        s_ref, ops_ref = wfa_align(q, t, p)
+        assert ops is not None, (len(q), len(t))
+        assert ops == ops_ref, (len(q), len(t), ops[:5], ops_ref[:5])
+
+
+def test_seg_small_batch_bit_identical():
+    rng = np.random.default_rng(3)
+    jobs = []
+    for _ in range(8):
+        n = int(rng.integers(40, 340))
+        jobs.append(make_pair(rng, n, sub=0.05, indel=0.02, max_indel=8))
+    _check(jobs, PATCH)
+
+
+def test_seg_divergent_and_wflign_penalties():
+    rng = np.random.default_rng(4)
+    jobs = []
+    for _ in range(4):
+        n = int(rng.integers(100, 400))
+        jobs.append(make_pair(rng, n, sub=0.15, indel=0.03, max_indel=10))
+    _check(jobs, WFLIGN)
+
+
+def test_seg_edge_cases():
+    rng = np.random.default_rng(5)
+    s = random_dna(rng, 300)
+    jobs = [
+        (s, s),                       # perfect match, score 0
+        (s[:200], s[:200]),
+        (b"", s[:50]),                # empty query -> pure D
+        (s[:50], b""),                # empty target -> pure I
+        (s[:64], bytes(64)),          # all-mismatch (zeros vs DNA)
+        (s[:100] + s[180:300], s),    # clean 80bp deletion
+        (s, s[:100] + s[180:300]),    # clean 80bp insertion
+    ]
+    _check(jobs, PATCH)
+
+
+def test_seg_rejects_out_of_envelope():
+    rng = np.random.default_rng(6)
+    solver = SegmentSolver(PATCH, interpret=True)
+    long = random_dna(rng, 600)       # > lseg-1
+    got = solver.solve([(long, long)])
+    assert got == [None]
+    q = random_dna(rng, 400)
+    t = q[:200]                       # |diff| = 200 > K/2 - 1
+    assert solver.solve([(q, t)]) == [None]
+
+
+def test_seg_score_cap_flags_failure():
+    rng = np.random.default_rng(7)
+    q = random_dna(rng, 400)
+    t = random_dna(rng, 400)          # unrelated: score >> smax
+    solver = SegmentSolver(PATCH, interpret=True, smax=64)
+    assert solver.solve([(q, t)]) == [None]
+
+
+def test_seg_group_padding_many():
+    """17 problems -> two PB=16 groups with padding lanes."""
+    rng = np.random.default_rng(8)
+    jobs = []
+    for _ in range(17):
+        n = int(rng.integers(30, 200))
+        jobs.append(make_pair(rng, n, sub=0.08, indel=0.02, max_indel=5))
+    _check(jobs, PATCH)
+
+
+def test_seg_fuzz_tie_breaks():
+    """Two-letter alphabet sequences maximize equal-score alternatives;
+    the device backtrace must still match wfa_np's documented priority
+    byte-for-byte."""
+    rng = np.random.default_rng(11)
+    jobs = []
+    for _ in range(12):
+        n = int(rng.integers(20, 180))
+        t = bytes(rng.choice([65, 67], size=n).astype(np.uint8))
+        q = bytearray(t)
+        for _ in range(int(rng.integers(0, 8))):
+            pos = int(rng.integers(0, len(q)))
+            r = rng.random()
+            if r < 0.4:
+                q[pos] = 67 if q[pos] == 65 else 65
+            elif r < 0.7:
+                q.insert(pos, int(rng.choice([65, 67])))
+            elif len(q) > 2:
+                del q[pos]
+        jobs.append((bytes(q), t))
+    _check(jobs, PATCH)
+    _check(jobs, WFLIGN)
