@@ -52,3 +52,89 @@ def test_sharded_hit_counts_match_unsharded():
     idx = np.clip(np.searchsorted(ihash, qhash), 0, H - 1)
     expect = (ihash[idx] == qhash).sum(axis=1)
     np.testing.assert_array_equal(counts, expect)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_l1_production_candidates_match_host():
+    """The REAL posting table sharded by hash range over a 4x2 mesh must
+    produce candidate lists byte-identical to the host L1 path."""
+    from test_l1_device import host_candidates
+
+    from wfmash_tpu.index.build import build_index
+    from wfmash_tpu.map.stats import compute_sketch_cutoffs
+    from wfmash_tpu.parallel.mesh import ShardedDeviceL1
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.sketch.minhash import sketch_fragment
+    from util import random_dna
+
+    rng = np.random.default_rng(23)
+    mp = MapParams(percentage_identity=0.85, auto_pct_identity=False,
+                   window_length=500, kmer_size=15)
+    mp.ref_sequences = mp.query_sequences = ["x"]
+    mp = mp.finalize()
+    base = random_dna(rng, 25_000)
+    seqs = [(0, base), (1, base[4_000:20_000]),
+            (2, random_dna(rng, 8_000))]
+    index = build_index(mp, seqs, log=lambda m: None)
+    group_arr = np.array([0, 1, 2], np.int32)
+    cutoffs = compute_sketch_cutoffs(mp.sketch_size, mp.kmer_size, 0.0,
+                                     0.999)
+    mesh = make_mesh(4, 2)
+    dev = ShardedDeviceL1(index, group_arr, mp, cutoffs, mesh)
+    frags, expected = [], []
+    for trial in range(12):
+        start = int(rng.integers(0, 24_000))
+        fa = np.frombuffer(base[start:start + 500], np.uint8).copy()
+        mut = rng.random(len(fa)) < 0.03
+        fa[mut] = rng.integers(65, 69, int(mut.sum()))
+        sk = sketch_fragment(fa.tobytes(), mp.kmer_size, mp.sketch_size)
+        if sk.sketch_size == 0:
+            continue
+        frags.append(dict(hashes=sk.hashes, n=sk.sketch_size, q_len=500,
+                          q_seqid=99, q_group=99, min_hits=2))
+        expected.append(host_candidates(
+            sk, 500, index, 99, 99, group_arr, mp, cutoffs, 2))
+    got = dev.candidates(frags)
+    assert len(got) == len(expected) >= 10
+    for g, e in zip(got, expected):
+        assert g == e
+    assert any(expected)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pipeline_paf_byte_identical(tmp_path, monkeypatch):
+    """Full mapping pipeline: mesh-sharded device L1 vs host L1 must
+    write byte-identical PAF (VERDICT round-1 item #4)."""
+    import io
+
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(29)
+    t1 = random_dna(rng, 22_000)
+    t2 = random_dna(rng, 15_000)
+    seqs_t = {"tA#1#c": t1, "tB#1#c": t2}
+    seqs_q = {"q1#1#c": mutate(rng, t1[2_000:18_000], 0.03),
+              "q2#1#c": mutate(rng, t2, 0.05)}
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, seqs_t)
+    write_fasta(qfa, seqs_q)
+
+    def run(env_val):
+        monkeypatch.setenv("WFMASH_TPU_DEVICE_L1", env_val)
+        params = MapParams(
+            ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+            percentage_identity=0.9, auto_pct_identity=False,
+            threads=1,
+        ).finalize()
+        out = io.StringIO()
+        run_mapping(params, out)
+        return out.getvalue()
+
+    host = run("0")
+    mesh = run("mesh")
+    single = run("1")
+    assert host, "empty mapping output"
+    assert mesh == host
+    assert single == host

@@ -72,3 +72,20 @@ def test_jax_engine_leading_gap(engine):
     ops = engine.align(query, target)
     assert C.validate(ops, query, target, 0, 0)
     assert score_cigar(ops, PATCH) == dp_align(query, target, PATCH)
+
+
+def test_big_skew_routes_to_host():
+    """A block whose |m-n| exceeds the diagonal span budget (multi-kb
+    copy-number gap) must fall back to the host solver instead of
+    raising 'exceeds the diagonal span budget' (round-2 fix)."""
+    from util import random_dna
+    from wfmash_tpu.align import cigar as C
+
+    rng = np.random.default_rng(31)
+    t = random_dna(rng, 9000)
+    ins = random_dna(rng, 3000)
+    q = t[:4000] + ins + t[4000:]
+    eng = JaxWfaEngine(PATCH, backend="xla")
+    ops = eng.align_batch([(q, t, None)])[0]
+    assert C.validate(ops, q, t, 0, 0)
+    assert max((n for n, op in ops if op == "I"), default=0) >= 2900

@@ -154,10 +154,24 @@ def make_engine(params: AlignParams):
     try:
         from .wfa_jax import JaxWfaEngine
 
-        return JaxWfaEngine(penalties)
+        engine = JaxWfaEngine(penalties)
     except Exception as e:  # pragma: no cover - fallback path
         log(f"[wfmash::align] JAX WFA engine unavailable ({e}); using host engine")
         return HostWfaEngine(penalties)
+
+    # Anchored segmentation (the TPU-native wflambda, align/segmented.py)
+    # is the default for large blocks: thousands of lockstep segment WFAs
+    # replace one score-serial sweep. WFMASH_TPU_SEGMENTED=0 restores
+    # exact whole-block biWFA (fidelity-ledger divergence).
+    seg = os.environ.get("WFMASH_TPU_SEGMENTED", "1")
+    if seg != "0":
+        import jax
+
+        from .segmented import SegmentedEngine
+
+        interp = jax.devices()[0].platform == "cpu"
+        return SegmentedEngine(penalties, engine, interpret=interp)
+    return engine
 
 
 def run_alignment(params: AlignParams, out) -> None:

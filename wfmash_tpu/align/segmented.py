@@ -1,0 +1,259 @@
+"""Anchor-chain segmented alignment — the TPU-native wflambda.
+
+The reference's hierarchical path (WFlign::wflign_affine_wavefront,
+reference: src/common/wflign/src/wflign.cpp:1061-1175) cracks a huge
+alignment into 256-base segments under a guide wavefront with lazy
+per-segment WFAs. That guide exists because the CPU must avoid touching
+segments off the optimal path; on TPU the economics invert — thousands
+of small segment WFAs in lockstep are nearly free (wfa_pallas_seg),
+while a score-serial whole-block sweep is the bottleneck. So instead of
+a guide wavefront we pin the path with an exact-match anchor chain:
+
+1. exact unique k-mer matches (2-bit packed codes, no hashing — matches
+   are certain) between the block's query and target;
+2. longest-increasing-subsequence chaining (strictly colinear);
+3. cuts at anchor midpoints spaced >= seg_target apart — every cut lies
+   INSIDE an exact match run, so each segment is aligned end-to-end
+   independently and the stitched CIGAR replays exactly;
+4. all segments from ALL blocks solve in lockstep on device; segments
+   the kernel cannot certify (long, divergent, big indels, band-edge)
+   escalate to the exact crossing-payload engine.
+
+Divergence from the reference's default (exact biWFA per block) is a
+documented fidelity-ledger item: segment CIGARs are exact WFAs between
+anchor cuts, so results are replay-exact and near-optimal, but a path
+that would stray from the anchor chain can differ from the global
+optimum (same trade the reference itself made for years when wflambda
+was its default path). WFMASH_TPU_SEGMENTED=0 restores exact biWFA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wfa_np import Penalties
+
+# 2-bit base codes; anything else (N etc.) invalidates overlapping k-mers
+_B2 = np.full(256, -1, np.int8)
+for _b, _c in ((ord("A"), 0), (ord("C"), 1), (ord("G"), 2), (ord("T"), 3)):
+    _B2[_b] = _c
+
+ANCHOR_K = 21
+
+
+def _kmer_codes(seq: np.ndarray, k: int):
+    """(L,) u8 -> (codes (L-k+1,) uint64, valid bool mask). Exact 2-bit
+    packing (k <= 31): equal codes <=> equal k-mers, no collisions."""
+    n = len(seq) - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64), np.empty(0, bool)
+    b = _B2[seq]
+    valid1 = b >= 0
+    bu = np.where(valid1, b, 0).astype(np.uint64)
+    code = np.zeros(n, np.uint64)
+    for j in range(k):
+        code = (code << np.uint64(2)) | bu[j:j + n]
+    # a k-mer is valid iff all k bases are valid
+    cs = np.concatenate(([0], np.cumsum(~valid1)))
+    valid = (cs[k:] - cs[:-k]) == 0
+    return code, valid
+
+
+def _unique_positions(codes: np.ndarray, valid: np.ndarray):
+    """Positions of k-mers occurring exactly once; returns (codes, pos)
+    sorted by code."""
+    pos = np.nonzero(valid)[0]
+    c = codes[pos]
+    order = np.argsort(c, kind="stable")
+    c, pos = c[order], pos[order]
+    if len(c) == 0:
+        return c, pos
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    count = np.diff(np.concatenate((np.nonzero(first)[0], [len(c)])))
+    uniq = np.repeat(count == 1, count)
+    return c[uniq], pos[uniq]
+
+
+def _lis_chain(qpos: np.ndarray, tpos: np.ndarray):
+    """Longest strictly-increasing chain of (qpos asc, tpos) anchors
+    (patience sorting, O(n log n)); returns kept indices."""
+    n = len(qpos)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((tpos, qpos))
+    t = tpos[order]
+    tails = []          # smallest tail tpos per chain length
+    tails_idx = []
+    parent = np.full(n, -1, np.int64)
+    import bisect
+
+    for i in range(n):
+        j = bisect.bisect_left(tails, t[i])
+        if j > 0:
+            parent[i] = tails_idx[j - 1]
+        if j == len(tails):
+            tails.append(t[i])
+            tails_idx.append(i)
+        else:
+            tails[j] = t[i]
+            tails_idx[j] = i
+    # walk back from the longest chain's last element
+    out = []
+    i = tails_idx[-1]
+    while i >= 0:
+        out.append(i)
+        i = parent[i]
+    out.reverse()
+    return order[np.array(out, np.int64)]
+
+
+def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K):
+    """Colinear chain of unique exact k-mer matches: (qpos, tpos) arrays
+    (strictly increasing in both), possibly empty."""
+    qc, qv = _kmer_codes(q, k)
+    tc, tv = _kmer_codes(t, k)
+    cq, pq = _unique_positions(qc, qv)
+    ct, pt = _unique_positions(tc, tv)
+    ia = np.searchsorted(ct, cq)
+    ia = np.clip(ia, 0, max(len(ct) - 1, 0))
+    if len(ct) == 0 or len(cq) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    hit = ct[ia] == cq
+    qpos, tpos = pq[hit], pt[ia[hit]]
+    keep = _lis_chain(qpos, tpos)
+    qpos, tpos = qpos[keep], tpos[keep]
+    # enforce strict monotonicity on qpos too (LIS is on tpos)
+    if len(qpos) > 1:
+        mono = np.concatenate(([True], np.diff(qpos) > 0))
+        qpos, tpos = qpos[mono], tpos[mono]
+    return qpos, tpos
+
+
+def pick_cuts(qpos: np.ndarray, tpos: np.ndarray, k: int,
+              seg_target: int, max_side: int, max_diff: int):
+    """Choose cut points (anchor midpoints) so consecutive cuts are
+    >= seg_target apart and each resulting segment fits the kernel
+    envelope where possible. Returns (qcuts, tcuts) arrays."""
+    qc, tc = [], []
+    mid = k // 2
+    last_q = last_t = -(1 << 30)
+    for qp, tp in zip(qpos, tpos):
+        cq_, ct_ = int(qp) + mid, int(tp) + mid
+        if cq_ - last_q < seg_target or ct_ - last_t < seg_target:
+            continue
+        qc.append(cq_)
+        tc.append(ct_)
+        last_q, last_t = cq_, ct_
+    return qc, tc
+
+
+class SegmentedEngine:
+    """Engine wrapper: large blocks go anchored+segmented, everything
+    else (small blocks, ends-free patch jobs, escalations) delegates to
+    the wrapped exact engine. API-compatible with JaxWfaEngine /
+    HostWfaEngine (align / align_batch)."""
+
+    def __init__(self, penalties: Penalties, exact_engine,
+                 interpret: bool = False, seg_target: int = 256,
+                 min_block: int = 1200, solver=None):
+        from .wfa_pallas_seg import SegmentSolver
+
+        self.p = penalties
+        self.exact = exact_engine
+        self.seg_target = seg_target
+        self.min_block = min_block
+        self.solver = solver or SegmentSolver(penalties, interpret=interpret)
+        # share the compiled segment kernel with the exact engine's leaf
+        # batching (one call shape, one server-side compile)
+        if hasattr(exact_engine, "seg_solver"):
+            exact_engine.seg_solver = self.solver
+        self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0}
+
+    def align(self, query: bytes, target: bytes, ends_free=None):
+        return self.align_batch([(query, target, ends_free)])[0]
+
+    def align_batch(self, jobs):
+        from .cigar import merge_adjacent
+
+        n = len(jobs)
+        plans: list = [None] * n      # per job: list of piece descriptors
+        exact_jobs: list = []         # (job_index, piece_index, q, t)
+        seg_jobs: list = []           # (job_index, piece_index, q, t)
+
+        for ji, (q, t, ef) in enumerate(jobs):
+            q = bytes(q)
+            t = bytes(t)
+            if (ef is not None or len(q) < self.min_block
+                    or len(t) < self.min_block):
+                plans[ji] = None
+                exact_jobs.append((ji, 0, q, t, ef))
+                self.stats["exact_blocks"] += 1
+                continue
+            qa = np.frombuffer(q, np.uint8)
+            ta = np.frombuffer(t, np.uint8)
+            qpos, tpos = find_anchors(qa, ta)
+            qc, tc = pick_cuts(qpos, tpos, ANCHOR_K, self.seg_target,
+                               self.solver.lseg - 1, self.solver.K // 2 - 8)
+            if len(qc) < 2:
+                plans[ji] = None
+                exact_jobs.append((ji, 0, q, t, None))
+                self.stats["exact_blocks"] += 1
+                continue
+            bounds_q = [0] + qc + [len(q)]
+            bounds_t = [0] + tc + [len(t)]
+            pieces = []
+            for pi in range(len(bounds_q) - 1):
+                sq = q[bounds_q[pi]:bounds_q[pi + 1]]
+                st = t[bounds_t[pi]:bounds_t[pi + 1]]
+                pieces.append(None)
+                if self.solver.accepts(len(sq), len(st)) or not sq or not st:
+                    seg_jobs.append((ji, pi, sq, st))
+                else:
+                    exact_jobs.append((ji, pi, sq, st, None))
+            plans[ji] = pieces
+
+        # device lockstep pass over every segment of every block
+        self.stats["segments"] += len(seg_jobs)
+        seg_ops = self.solver.solve([(sq, st) for _, _, sq, st in seg_jobs])
+        escal_jobs = []
+        for (ji, pi, sq, st), ops in zip(seg_jobs, seg_ops):
+            if ops is None:
+                escal_jobs.append((ji, pi, sq, st, None))
+                self.stats["escalated"] += 1
+            else:
+                plans[ji][pi] = ops
+
+        # exact-engine passes. Escalations already failed the segment
+        # kernel, so the exact engine must not re-try them there
+        # (allow_seg=False); whole-block fallbacks and oversize pieces
+        # may still batch their recursion leaves through it.
+        def run_exact(batch, allow_seg):
+            if not batch:
+                return
+            try:
+                got = self.exact.align_batch(
+                    [(q, t, ef) for _, _, q, t, ef in batch],
+                    allow_seg=allow_seg)
+            except TypeError:      # engines without the keyword
+                got = self.exact.align_batch(
+                    [(q, t, ef) for _, _, q, t, ef in batch])
+            for (ji, pi, _, _, _), ops in zip(batch, got):
+                if plans[ji] is None:
+                    plans[ji] = [ops]          # whole-block result
+                else:
+                    plans[ji][pi] = ops
+
+        run_exact(exact_jobs, True)
+        run_exact(escal_jobs, False)
+
+        results = []
+        for ji in range(n):
+            pieces = plans[ji]
+            if pieces is None or any(p is None for p in pieces):
+                results.append(None)
+                continue
+            ops: list = []
+            for p in pieces:
+                ops = merge_adjacent(ops, p) if ops else list(p)
+            results.append(ops)
+        return results

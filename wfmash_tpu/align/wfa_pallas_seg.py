@@ -438,7 +438,7 @@ class SegmentSolver:
 
     def __init__(self, penalties: Penalties, interpret: bool = False,
                  PB: int = 16, K: int = 256, smax: int = 256,
-                 lseg: int = 512, max_problems_per_call: int = 4096):
+                 lseg: int = 512, max_problems_per_call: int = 1024):
         self.p = penalties
         self.interpret = interpret
         self.PB = PB
@@ -472,10 +472,14 @@ class SegmentSolver:
             self._solve_chunk(chunk, jobs, results)
         return results
 
-    # call-shape ladder: every distinct group count is a separate Mosaic
-    # compile (30-60 s cold through the tunnel), so calls are padded up
-    # to one of four fixed shapes
-    G_LADDER = (4, 16, 64, 256)
+    # ONE call shape: every distinct group count is a separate Mosaic
+    # compile, and through the axon tunnel that compile happens
+    # server-side at first execution (~30-200 s; the client-side
+    # persistent cache cannot capture it — compile() returns in <1 s and
+    # the server's executable cache is LRU). Padding problems terminate
+    # at score 0, so an underfilled grid step costs microseconds; one
+    # fixed shape keeps the server cache warm across processes.
+    G_LADDER = (64,)
 
     def _solve_chunk(self, idxs, jobs, results):
         PB, K, L = self.PB, self.K, self.lseg

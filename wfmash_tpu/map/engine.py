@@ -73,6 +73,7 @@ class Mapper:
         self.idm = id_manager
         self._group_arr = np.asarray(id_manager.group_ids, dtype=np.int64)
         self._len_arr = np.asarray(id_manager.lengths, dtype=np.int64)
+        self.device_l1 = None     # optional map/l1_device.py backend
 
         if params.stage1_topANI_filter:
             self.sketch_cutoffs = stats.compute_sketch_cutoffs(
@@ -130,23 +131,35 @@ class Mapper:
                 ),
             )
 
-        # L1 per target-group subrange (computeMap.hpp:963-982)
+        # L1 per target-group subrange (computeMap.hpp:963-982).
+        # device_l1 (map/l1_device.py, injected by the runner) replaces
+        # the host join+sweep with the batched XLA kernel; a None row
+        # (cap overflow / non-default flags) falls back to the host path.
         l1: list[L1Candidate] = []
-        groups = self.group_of(pts["seq_id"])
-        i = 0
-        n = len(pts)
-        while i < n:
-            j = i + 1
-            if p.skip_prefix:
-                while j < n and groups[j] == groups[i]:
-                    j += 1
-            else:
-                j = n
-            compute_l1_candidate_regions(
-                sketch.sketch_size, q_len, pts[i:j], minimum_hits, p,
-                self.sketch_cutoffs, l1,
-            )
-            i = j
+        dev_rows = None
+        if self.device_l1 is not None and q_len == p.window_length:
+            dev_rows = self.device_l1.candidates([dict(
+                hashes=sketch.hashes, n=sketch.sketch_size, q_len=q_len,
+                q_seqid=query_seq_id, q_group=query_group,
+                min_hits=minimum_hits)])[0]
+        if dev_rows is not None:
+            l1 = [L1Candidate(*r) for r in dev_rows]
+        else:
+            groups = self.group_of(pts["seq_id"])
+            i = 0
+            n = len(pts)
+            while i < n:
+                j = i + 1
+                if p.skip_prefix:
+                    while j < n and groups[j] == groups[i]:
+                        j += 1
+                else:
+                    j = n
+                compute_l1_candidate_regions(
+                    sketch.sketch_size, q_len, pts[i:j], minimum_hits, p,
+                    self.sketch_cutoffs, l1,
+                )
+                i = j
         if not l1:
             return []
 

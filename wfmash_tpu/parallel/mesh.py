@@ -36,6 +36,159 @@ def make_mesh(n_shard: int, n_data: int, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("shard", "data"))
 
 
+class ShardedDeviceL1:
+    """PRODUCTION sharded L1: the real posting table (full 64-bit hashes
+    as u32 pairs + endpoint CSR) sharded by HASH RANGE across the mesh's
+    "shard" axis; fragment batches split across "data". Each shard joins
+    locally, the padded endpoint slices all_gather over ICI, and every
+    data slot runs the (deterministic) sweep on the merged event set —
+    so candidates, and therefore the final PAF, are byte-identical to
+    the single-device path (tested on the virtual 8-device CPU mesh).
+
+    This is the spatial form of the reference's serial `-b` subset loop
+    (reference: computeMap.hpp:295-327; index shards persist exactly like
+    winSketch.hpp:616-979 batches)."""
+
+    def __init__(self, index, group_arr, params, sketch_cutoffs,
+                 mesh: Mesh, cap: int = 4096, maxc: int = 64):
+        from ..map.l1_device import DeviceL1, _split_u64
+
+        self.mesh = mesh
+        self.n_shard = mesh.shape["shard"]
+        self.n_data = mesh.shape["data"]
+        self.cap = cap
+        self.maxc = maxc
+        self.params = params
+        self.cutoffs = np.asarray(sketch_cutoffs, np.int32)
+        self.cut_div = np.float32(max(1.0, params.sketch_size / 1000.0))
+        self.group_arr = np.asarray(group_arr, np.int32)
+
+        # split the unique-hash CSR into n_shard contiguous ranges,
+        # balanced by endpoint count, padded to a common size
+        uh = index.unique_hashes.astype(np.uint64)
+        offs = index.endpoint_offsets.astype(np.int64)
+        ep = index.endpoints
+        U = len(uh)
+        E = len(ep)
+        bounds = [0]
+        for s in range(1, self.n_shard):
+            bounds.append(int(np.searchsorted(offs, E * s // self.n_shard)))
+        bounds.append(U)
+        us = max(max(bounds[i + 1] - bounds[i]
+                     for i in range(self.n_shard)), 1)
+        es = 1
+        for i in range(self.n_shard):
+            es = max(es, int(offs[bounds[i + 1]] - offs[bounds[i]]))
+        self.uh_hi = np.zeros((self.n_shard, us), np.uint32)
+        self.uh_lo = np.zeros((self.n_shard, us), np.uint32)
+        self.offs = np.zeros((self.n_shard, us + 1), np.int32)
+        self.ep_pos = np.zeros((self.n_shard, es), np.int32)
+        self.ep_seq = np.zeros((self.n_shard, es), np.int32)
+        self.ep_side = np.zeros((self.n_shard, es), np.int8)
+        for i in range(self.n_shard):
+            a, b = bounds[i], bounds[i + 1]
+            n = b - a
+            ea, eb = int(offs[a]), int(offs[b])
+            hi, lo = _split_u64(uh[a:b])
+            # pad hashes with the all-ones sentinel so no query matches
+            self.uh_hi[i] = np.full(us, 0xFFFFFFFF, np.uint32)
+            self.uh_lo[i] = np.full(us, 0xFFFFFFFF, np.uint32)
+            self.uh_hi[i, :n] = hi
+            self.uh_lo[i, :n] = lo
+            self.offs[i, :n + 1] = (offs[a:b + 1] - ea).astype(np.int32)
+            self.offs[i, n + 1:] = np.int32(eb - ea)
+            self.ep_pos[i, :eb - ea] = ep["pos"][ea:eb].astype(np.int32)
+            self.ep_seq[i, :eb - ea] = ep["seq_id"][ea:eb].astype(np.int32)
+            self.ep_side[i, :eb - ea] = ep["side"][ea:eb]
+        self._jit = None
+
+    def _build(self, S):
+        from jax.experimental.shard_map import shard_map
+
+        from ..map.l1_device import (_join_endpoints, _sweep_candidates)
+
+        p = self.params
+        capL = self.cap // self.n_shard
+        maxc = self.maxc
+        mesh = self.mesh
+        stage1 = bool(p.stage1_topANI_filter)
+        cluster_len = np.int32(p.window_length)
+        cut_div = self.cut_div
+
+        def local(qh_hi, qh_lo, q_nh, meta, uh_hi, uh_lo, offs,
+                  ep_pos, ep_seq, ep_side, seq_group, cutoffs):
+            pos, seq, side, grp, over = _join_endpoints(
+                qh_hi, qh_lo, q_nh, uh_hi[0], uh_lo[0], offs[0],
+                ep_pos[0], ep_seq[0], ep_side[0], seq_group,
+                meta[:, 0], meta[:, 1],
+                meta[:, 5] != 0, meta[:, 6] != 0, cap=capL)
+            # merge all shards' event slices (ICI all_gather), then each
+            # data slot sweeps the identical union deterministically
+            def gather(x):
+                g = jax.lax.all_gather(x, "shard", axis=0)
+                return g.transpose(1, 0, 2).reshape(x.shape[0], -1)
+
+            pos_a, seq_a = gather(pos), gather(seq)
+            side_a, grp_a = gather(side), gather(grp)
+            over = jax.lax.pmax(over.astype(jnp.int32), "shard")
+            cand, ncand, run_over = _sweep_candidates(
+                pos_a, seq_a, side_a, grp_a, meta[:, 2], meta[:, 3],
+                cutoffs, cut_div, cluster_len, maxc=maxc, stage1=stage1)
+            return cand, ncand, (over != 0) | run_over
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"),
+                      P("shard"), P("shard"), P("shard"), P("shard"),
+                      P("shard"), P("shard"), P(None), P(None)),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_rep=False)
+        return jax.jit(fn)
+
+    def candidates(self, frags):
+        p = self.params
+        B = len(frags)
+        if B == 0:
+            return []
+        S = max(max(len(f["hashes"]) for f in frags), 1)
+        Bp = -(-B // self.n_data) * self.n_data
+        qh = np.full((Bp, S), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        q_nh = np.zeros(Bp, np.int32)
+        meta = np.zeros((Bp, 8), np.int32)
+        for i, f in enumerate(frags):
+            h = np.asarray(f["hashes"], np.uint64)
+            qh[i, :len(h)] = h
+            q_nh[i] = len(h)
+            meta[i, :5] = (f["q_group"], f["q_seqid"], f["min_hits"],
+                           f["n"], f["q_len"])
+        meta[:, 5] = int(p.skip_self or p.skip_prefix)
+        meta[:, 6] = int(p.lower_triangular)
+        from ..map.l1_device import _split_u64
+
+        qh_hi, qh_lo = _split_u64(qh)
+        if self._jit is None:
+            self._jit = self._build(S)
+        cand, ncand, overflow = self._jit(
+            jnp.asarray(qh_hi), jnp.asarray(qh_lo), jnp.asarray(q_nh),
+            jnp.asarray(meta), jnp.asarray(self.uh_hi),
+            jnp.asarray(self.uh_lo), jnp.asarray(self.offs),
+            jnp.asarray(self.ep_pos), jnp.asarray(self.ep_seq),
+            jnp.asarray(self.ep_side), jnp.asarray(self.group_arr),
+            jnp.asarray(self.cutoffs))
+        cand = np.asarray(cand)
+        ncand = np.asarray(ncand)
+        overflow = np.asarray(overflow)
+        out = []
+        for i, f in enumerate(frags):
+            if overflow[i] or f["q_len"] != p.window_length \
+                    or not p.stage2_full_scan:
+                out.append(None)
+                continue
+            out.append([tuple(int(x) for x in cand[i, j])
+                        for j in range(int(ncand[i]))])
+        return out
+
+
 def sharded_hit_counts(query_hashes, index_hashes, mesh: Mesh):
     """Count query sketch hashes present in the (hash-sharded) index.
 

@@ -163,6 +163,37 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         else:
             index = build_subset(subset)
 
+        # WFMASH_TPU_DEVICE_L1: route the L1 stage through the batched
+        # device kernel (map/l1_device.py). "1" = single-device,
+        # "mesh" = hash-range sharded over a (shard, data) mesh
+        # (parallel/mesh.py). Byte-identical to the host path (tested).
+        import os as _os2
+
+        _dl1 = _os2.environ.get("WFMASH_TPU_DEVICE_L1", "0")
+        if _dl1 != "0":
+            try:
+                if _dl1 == "mesh":
+                    import jax as _jax
+
+                    from .parallel.mesh import ShardedDeviceL1, make_mesh
+
+                    n_dev = len(_jax.devices())
+                    n_shard = 2 if n_dev >= 2 else 1
+                    mesh = make_mesh(n_shard, n_dev // n_shard)
+                    mapper.device_l1 = ShardedDeviceL1(
+                        index, mapper._group_arr, params,
+                        mapper.sketch_cutoffs, mesh)
+                else:
+                    from .map.l1_device import DeviceL1
+
+                    mapper.device_l1 = DeviceL1(
+                        index, mapper._group_arr, params,
+                        mapper.sketch_cutoffs)
+            except Exception as e:   # pragma: no cover
+                log(f"[wfmash::mashmap] device L1 unavailable ({e}); "
+                    "using host L1")
+                mapper.device_l1 = None
+
         from .utils.progress import ProgressMeter
 
         total_bp = sum(
