@@ -105,9 +105,12 @@ def parse_mashmap_row(line: str, target_padding: int, query_padding: int):
 def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
               params: AlignParams) -> AlignmentJob:
     """createSeqRecord + processAlignment prep (computeAlignments.hpp:
-    582-723). The target region is extracted WITHOUT the extra patching
-    context for now (context becomes relevant for the hierarchical wflign
-    path; the default biWFA path only touches [r_start, r_end))."""
+    582-723). The target is extracted WITHOUT the extra
+    +-wflign_max_len_minor context: the reference fetches it
+    (computeAlignments.hpp:609-621) but then skips past it — the
+    pointer handed to do_biwfa_alignment starts at rStartPos and the
+    length excludes the tail padding (computeAlignments.hpp:675,706) —
+    so the live path never reads those bases. Verified vestigial."""
     target = ref_reader.fetch(row["target_name"], row["r_start"], row["r_end"] - 1)
     query = query_reader.fetch(row["query_name"], row["q_start"], row["q_end"] - 1)
     target = bytes(normalize(target))
@@ -203,25 +206,26 @@ def run_alignment(params: AlignParams, out) -> None:
 
     engine = make_engine(params)
 
-    # build all jobs first, then run main alignments as device batches
-    jobs = []
-    for row in rows:
-        try:
-            jobs.append(build_job(row, ref_reader, query_reader, params))
-        except Exception as e:
-            log(f"[wfmash::align] Error extracting record: {e}")
-            jobs.append(None)
-
     from .biwfa import align_records_batched
 
     from ..utils.progress import ProgressMeter
 
+    # STREAMING driver (reference: computeAlignments.hpp:391-438 streams
+    # records through taskflow with thread-local readers): sequences are
+    # fetched, aligned, written, and dropped one batch at a time, so
+    # peak memory is one batch of padded pairs — not the whole run.
     n_aligned = 0
-    batch_size = 256
-    live = [j for j in jobs if j is not None]
-    meter = ProgressMeter(max(len(live), 1), "[wfmash::align] aligning")
-    for start in range(0, len(live), batch_size):
-        chunk = live[start : start + batch_size]
+    batch_size = 512
+    meter = ProgressMeter(max(len(rows), 1), "[wfmash::align] aligning")
+    for start in range(0, len(rows), batch_size):
+        chunk = []
+        for row in rows[start:start + batch_size]:
+            try:
+                chunk.append(build_job(row, ref_reader, query_reader,
+                                       params))
+            except Exception as e:
+                log(f"[wfmash::align] Error extracting record: {e}")
+                meter.increment(1)
         try:
             ops_list = align_records_batched(
                 chunk, engine, params.disable_chain_patching

@@ -112,6 +112,10 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K):
     (strictly increasing in both), possibly empty."""
     qc, qv = _kmer_codes(q, k)
     tc, tv = _kmer_codes(t, k)
+    return _match_chain(qc, qv, tc, tv)
+
+
+def _match_chain(qc, qv, tc, tv):
     cq, pq = _unique_positions(qc, qv)
     ct, pt = _unique_positions(tc, tv)
     ia = np.searchsorted(ct, cq)
@@ -155,7 +159,7 @@ class SegmentedEngine:
 
     def __init__(self, penalties: Penalties, exact_engine,
                  interpret: bool = False, seg_target: int = 256,
-                 min_block: int = 1200, solver=None):
+                 min_block: int = 600, solver=None):
         from .wfa_pallas_seg import SegmentSolver
 
         self.p = penalties
@@ -191,9 +195,20 @@ class SegmentedEngine:
                 continue
             qa = np.frombuffer(q, np.uint8)
             ta = np.frombuffer(t, np.uint8)
-            qpos, tpos = find_anchors(qa, ta)
-            qc, tc = pick_cuts(qpos, tpos, ANCHOR_K, self.seg_target,
+            # anchor-k ladder: divergent blocks (down to the -p 70 floor)
+            # rarely share unique 21-mers, but 13-mers at 20% divergence
+            # still land every ~60 bp; smaller k only ever ADDS cut
+            # choices (cuts remain exact matches either way)
+            anchor_k = ANCHOR_K
+            qpos, tpos = find_anchors(qa, ta, anchor_k)
+            qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
                                self.solver.lseg - 1, self.solver.K // 2 - 8)
+            if len(qc) < max(2, len(q) // (4 * self.solver.lseg)):
+                anchor_k = 13
+                qpos, tpos = find_anchors(qa, ta, anchor_k)
+                qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
+                                   self.solver.lseg - 1,
+                                   self.solver.K // 2 - 8)
             if len(qc) < 2:
                 plans[ji] = None
                 exact_jobs.append((ji, 0, q, t, None))
@@ -245,6 +260,12 @@ class SegmentedEngine:
 
         run_exact(exact_jobs, True)
         run_exact(escal_jobs, False)
+        if n >= 16:
+            import sys
+
+            print(f"[wfmash::align] segmented batch: {n} blocks -> "
+                  f"{len(seg_jobs)} segments, {len(escal_jobs)} escalated, "
+                  f"{len(exact_jobs)} exact-path jobs", file=sys.stderr)
 
         results = []
         for ji in range(n):
