@@ -106,3 +106,71 @@ def test_segmented_batch_mixed():
     for (q, t, _), ops in zip(jobs, res):
         assert ops is not None
         assert C.validate(ops, q, t, 0, 0)
+
+
+def test_inversion_detection():
+    """A 400bp inverted region inside a high-identity block must be
+    detected by the rev-comp patch try: the main CIGAR stays valid and
+    an inversion record with matching coordinates appears."""
+    from wfmash_tpu.sketch.kmers import reverse_complement
+
+    rng = np.random.default_rng(6)
+    eng = make_engine()
+    t = random_dna(rng, 6000)
+    inv = bytes(reverse_complement(bytearray(t[3000:3400])))
+    q = t[:3000] + inv + t[3400:]
+    ops = eng.align(q, t)
+    assert ops is not None
+    assert C.validate(ops, q, t, 0, 0)
+    assert eng.stats["inversions"] >= 1
+    rec = eng.inversions[0]
+    # the recorded region covers (most of) the inverted stretch
+    assert rec["qa"] <= 3100 and rec["qb"] >= 3300
+    # the inversion CIGAR replays against revcomp(query region) x target
+    rq = bytes(reverse_complement(bytearray(q[rec["qa"]:rec["qb"]])))
+    assert C.validate(rec["ops"], rq, t[rec["ta"]:rec["tb"]], 0, 0)
+
+
+def test_inversion_row_e2e(tmp_path):
+    """End-to-end: mapping + alignment over a genome pair with an
+    inversion emits a pt:Z:true iv:Z:true PAF row."""
+    import io
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from wfmash_tpu.sketch.kmers import reverse_complement
+    from util import write_fasta
+
+    rng = np.random.default_rng(7)
+    t = random_dna(rng, 20_000)
+    invseg = bytes(reverse_complement(bytearray(t[9_000:9_400])))
+    q = mutate(rng, t[:9_000], 0.01) + invseg + mutate(rng, t[9_400:], 0.01)
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": t})
+    write_fasta(qfa, {"q1": q})
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.9, auto_pct_identity=False,
+                   threads=1).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    mpaf = tmp_path / "m.paf"
+    mpaf.write_text(buf.getvalue())
+    import os
+
+    os.environ["WFMASH_TPU_WFA_ENGINE"] = "auto"
+    try:
+        ap = AlignParams(ref_sequences=[str(tfa)],
+                         query_sequences=[str(qfa)],
+                         mashmap_paf_file=str(mpaf))
+        out = io.StringIO()
+        run_alignment(ap, out)
+    finally:
+        os.environ.pop("WFMASH_TPU_WFA_ENGINE", None)
+    rows = out.getvalue().splitlines()
+    assert rows
+    iv = [r for r in rows if "iv:Z:true" in r]
+    assert iv, "no inversion row emitted"
+    f = iv[0].split("\t")
+    assert f[4] == "-" and "pt:Z:true" in iv[0]
+    assert 8_800 <= int(f[2]) <= 9_200 and 9_200 <= int(f[3]) <= 9_600

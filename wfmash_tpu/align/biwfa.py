@@ -144,6 +144,59 @@ def fmt_double(x: float) -> str:
     return f"{float(x):.6g}"
 
 
+def write_inversion_row(out, job: AlignmentJob, inv: dict) -> bool:
+    """Extra PAF row for a detected inversion patch (reference:
+    wflign_patch.cpp:2361-2392 emits kept rev-comp patch alignments as
+    separate rows tagged pt:Z:true iv:Z:true).
+
+    inv: dict(qa, qb, ta, tb, ops) — block-relative region on the
+    strand-adjusted query; ops aligns revcomp(block_query[qa:qb]) to
+    target[ta:tb], so the row's strand is the OPPOSITE of the record's.
+    """
+    ops = inv["ops"]
+    if not ops:
+        return False
+    (matches, mismatches, ins, ins_bp, dels, del_bp,
+     ref_aligned, q_aligned) = C.stats(ops)
+    denom_gc = matches + mismatches + ins + dels
+    denom_bi = matches + mismatches + ins_bp + del_bp
+    if denom_gc == 0 or denom_bi == 0:
+        return False
+    gi = matches / denom_gc
+    bi = matches / denom_bi
+    qa, qb = inv["qa"], inv["qb"]
+    if job.query_is_rev:
+        q_start = job.query_offset + (job.query_length - qb)
+        q_end = job.query_offset + (job.query_length - qa)
+        strand = "+"
+    else:
+        q_start = job.query_offset + qa
+        q_end = job.query_offset + qb
+        strand = "-"
+    cols = [
+        job.query_name,
+        str(job.query_total_length),
+        str(q_start),
+        str(q_end),
+        strand,
+        job.target_name,
+        str(job.target_total_length),
+        str(job.target_offset + inv["ta"]),
+        str(job.target_offset + inv["tb"]),
+        str(matches),
+        str(max(ref_aligned, q_aligned)),
+        str(int(round(float2phred(1.0 - bi)))),
+        "gi:f:" + fmt_double(gi),
+        "bi:f:" + fmt_double(bi),
+        "md:f:" + fmt_double(job.mashmap_estimated_identity),
+        "pt:Z:true",
+        "iv:Z:true",
+        "cg:Z:" + C.format_ops(ops),
+    ]
+    out.write("\t".join(cols) + "\t\n")
+    return True
+
+
 def write_paf_row(out, job: AlignmentJob, ops,
                   min_identity: float, min_alignment_length: int,
                   min_block_identity: float) -> bool:

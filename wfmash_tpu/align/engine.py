@@ -226,6 +226,8 @@ def run_alignment(params: AlignParams, out) -> None:
             except Exception as e:
                 log(f"[wfmash::align] Error extracting record: {e}")
                 meter.increment(1)
+        if hasattr(engine, "inversions"):
+            engine.inversions = []
         try:
             ops_list = align_records_batched(
                 chunk, engine, params.disable_chain_patching
@@ -261,6 +263,16 @@ def run_alignment(params: AlignParams, out) -> None:
                     params.min_block_identity,
                 )
             n_aligned += 1
+
+        # inversion patches detected inside this chunk's blocks emit as
+        # extra rows (PAF only — wflign_patch.cpp:2361-2392 semantics)
+        if not params.sam_format and getattr(engine, "inversions", None):
+            from .biwfa import write_inversion_row
+
+            for inv in engine.inversions:
+                job = chunk[inv["ji"]]
+                if write_inversion_row(out, job, inv):
+                    n_aligned += 1
 
     meter.finish()
     log(f"[wfmash::align] total aligned records = {n_aligned}")

@@ -171,7 +171,12 @@ class SegmentedEngine:
         # batching (one call shape, one server-side compile)
         if hasattr(exact_engine, "seg_solver"):
             exact_engine.seg_solver = self.solver
-        self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0}
+        self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0,
+                      "inversions": 0}
+        self.min_inversion_length = 23   # align_parameters.hpp:70
+        # per-align_batch inversion records:
+        # dict(ji, qa, qb, ta, tb, ops) with block-relative coords
+        self.inversions: list = []
 
     def align(self, query: bytes, target: bytes, ends_free=None):
         return self.align_batch([(query, target, ends_free)])[0]
@@ -183,6 +188,10 @@ class SegmentedEngine:
         plans: list = [None] * n      # per job: list of piece descriptors
         exact_jobs: list = []         # (job_index, piece_index, q, t)
         seg_jobs: list = []           # (job_index, piece_index, q, t)
+        bounds_of: dict = {}          # ji -> (bounds_q, bounds_t)
+        # NOTE: self.inversions accumulates (the driver clears it before
+        # each record batch and drains it after — patch-stage align()
+        # calls in between must not wipe the mains' records)
 
         for ji, (q, t, ef) in enumerate(jobs):
             q = bytes(q)
@@ -216,6 +225,7 @@ class SegmentedEngine:
                 continue
             bounds_q = [0] + qc + [len(q)]
             bounds_t = [0] + tc + [len(t)]
+            bounds_of[ji] = (bounds_q, bounds_t)
             pieces = []
             for pi in range(len(bounds_q) - 1):
                 sq = q[bounds_q[pi]:bounds_q[pi + 1]]
@@ -260,6 +270,13 @@ class SegmentedEngine:
 
         run_exact(exact_jobs, True)
         run_exact(escal_jobs, False)
+        # patch-region inversion try (wflign_patch.cpp:405-538): every
+        # divergent piece — escalated segments and oversize inter-anchor
+        # gaps — gets a reverse-complement attempt with a 0.9x score
+        # budget; completions are recorded for extra iv:Z:true PAF rows
+        self._detect_inversions(
+            plans, bounds_of,
+            escal_jobs + [e for e in exact_jobs if e[0] in bounds_of])
         if n >= 16:
             import sys
 
@@ -278,3 +295,43 @@ class SegmentedEngine:
                 ops = merge_adjacent(ops, p) if ops else list(p)
             results.append(ops)
         return results
+
+    def _detect_inversions(self, plans, bounds_of, candidates):
+        """Reverse-complement try on divergent pieces (reference:
+        wflign_patch.cpp:405-538 — the forward alignment stays in the
+        main CIGAR; a rev-comp alignment that completes within
+        ceil(0.9 * fwd_score) steps is recorded for a separate
+        pt:Z:true iv:Z:true PAF row)."""
+        import math
+
+        from ..sketch.kmers import reverse_complement
+        from .wfa_np import score_cigar
+        from .wfa_vec import wfa_align as host_wfa
+
+        mil = self.min_inversion_length
+        cands = []
+        for (ji, pi, sq, st, _ef) in candidates:
+            if (len(sq) < mil or len(st) < mil
+                    or plans[ji] is None or plans[ji][pi] is None):
+                continue
+            cands.append((ji, pi, sq, st))
+        if not cands:
+            return
+        rev_jobs = [(bytes(reverse_complement(bytearray(sq))), st)
+                    for _, _, sq, st in cands]
+        rev_got = self.solver.solve(rev_jobs)
+        for (ji, pi, sq, st), (rq, _), rops in zip(cands, rev_jobs,
+                                                   rev_got):
+            fwd_score = score_cigar(plans[ji][pi], self.p)
+            budget = int(math.ceil(fwd_score * 0.9))
+            if rops is None:
+                _, rops = host_wfa(rq, st, self.p, max_score=budget)
+                if rops is None:
+                    continue
+            if score_cigar(rops, self.p) > budget:
+                continue
+            bq, bt = bounds_of[ji]
+            self.inversions.append(dict(
+                ji=ji, qa=bq[pi], qb=bq[pi + 1], ta=bt[pi],
+                tb=bt[pi + 1], ops=rops))
+            self.stats["inversions"] += 1
