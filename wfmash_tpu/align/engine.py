@@ -235,7 +235,10 @@ def run_alignment(params: AlignParams, out) -> None:
         except Exception as e:
             log(f"[wfmash::align] Batch error, falling back per-record: {e}")
             ops_list = []
-            for job in chunk:
+            collected = []
+            for idx, job in enumerate(chunk):
+                if hasattr(engine, "inversions"):
+                    engine.inversions = []
                 try:
                     ops_list.append(
                         align_record(job, engine, params.disable_chain_patching)
@@ -243,6 +246,12 @@ def run_alignment(params: AlignParams, out) -> None:
                 except Exception as e2:
                     log(f"[wfmash::align] Error processing record: {e2}")
                     ops_list.append(None)
+                # re-key per-record inversion hits to the chunk index
+                for inv in getattr(engine, "inversions", []):
+                    inv["ji"] = idx
+                    collected.append(inv)
+            if hasattr(engine, "inversions"):
+                engine.inversions = collected
         meter.increment(len(chunk))
         for job, ops in zip(chunk, ops_list):
             if ops is None:

@@ -107,12 +107,62 @@ def _lis_chain(qpos: np.ndarray, tpos: np.ndarray):
     return order[np.array(out, np.int64)]
 
 
-def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K):
-    """Colinear chain of unique exact k-mer matches: (qpos, tpos) arrays
-    (strictly increasing in both), possibly empty."""
+def _rare_positions(codes: np.ndarray, valid: np.ndarray, max_occ: int):
+    """Positions of k-mers occurring <= max_occ times (code-sorted)."""
+    pos = np.nonzero(valid)[0]
+    c = codes[pos]
+    order = np.argsort(c, kind="stable")
+    c, pos = c[order], pos[order]
+    if len(c) == 0:
+        return c, pos
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    count = np.diff(np.concatenate((np.nonzero(first)[0], [len(c)])))
+    keep = np.repeat(count <= max_occ, count)
+    return c[keep], pos[keep]
+
+
+def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K,
+                 max_occ: int = 1, max_pairs: int = 200_000):
+    """Colinear chain of exact k-mer matches: (qpos, tpos) arrays
+    (strictly increasing in both), possibly empty.
+
+    max_occ > 1 admits REPEATED k-mers (up to max_occ occurrences per
+    side, cartesian-paired) — the LIS chain then selects the colinear
+    subset; needed for repeat-dense loci where unique k-mers are rare.
+    """
     qc, qv = _kmer_codes(q, k)
     tc, tv = _kmer_codes(t, k)
-    return _match_chain(qc, qv, tc, tv)
+    if max_occ <= 1:
+        return _match_chain(qc, qv, tc, tv)
+    cq, pq = _rare_positions(qc, qv, max_occ)
+    ct, pt = _rare_positions(tc, tv, max_occ)
+    if len(cq) == 0 or len(ct) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    tmap: dict = {}
+    prev = None
+    for c, p in zip(ct.tolist(), pt.tolist()):
+        if c != prev:
+            tmap[c] = [p]
+            prev = c
+        else:
+            tmap[c].append(p)
+    qs, ts = [], []
+    for c, p in zip(cq.tolist(), pq.tolist()):
+        hits = tmap.get(c)
+        if hits:
+            for tp in hits:
+                qs.append(p)
+                ts.append(tp)
+            if len(qs) > max_pairs:
+                break
+    qpos = np.asarray(qs, np.int64)
+    tpos = np.asarray(ts, np.int64)
+    keep = _lis_chain(qpos, tpos)
+    qpos, tpos = qpos[keep], tpos[keep]
+    if len(qpos) > 1:
+        mono = np.concatenate(([True], np.diff(qpos) > 0))
+        qpos, tpos = qpos[mono], tpos[mono]
+    return qpos, tpos
 
 
 def _match_chain(qc, qv, tc, tv):
@@ -213,8 +263,11 @@ class SegmentedEngine:
             qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
                                self.solver.lseg - 1, self.solver.K // 2 - 8)
             if len(qc) < max(2, len(q) // (4 * self.solver.lseg)):
+                # retry: shorter k AND repeated k-mers admitted (up to 4
+                # occurrences/side) — repeat-dense loci (LPA KIV-2) have
+                # few unique k-mers but plenty of colinear rare ones
                 anchor_k = 13
-                qpos, tpos = find_anchors(qa, ta, anchor_k)
+                qpos, tpos = find_anchors(qa, ta, anchor_k, max_occ=4)
                 qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
                                    self.solver.lseg - 1,
                                    self.solver.K // 2 - 8)
@@ -225,6 +278,28 @@ class SegmentedEngine:
                 continue
             bounds_q = [0] + qc + [len(q)]
             bounds_t = [0] + tc + [len(t)]
+            # refine: an inter-anchor span too big for the kernel gets
+            # one recursive re-anchoring pass (k=13, repeats admitted,
+            # tighter spacing) — divergent stretches usually still carry
+            # colinear rare 13-mers, and every extra cut keeps the
+            # piece off the expensive exact path
+            rq, rt = [0], [0]
+            for pi in range(len(bounds_q) - 1):
+                sq0, sq1 = bounds_q[pi], bounds_q[pi + 1]
+                st0, st1 = bounds_t[pi], bounds_t[pi + 1]
+                big = not (self.solver.accepts(sq1 - sq0, st1 - st0)
+                           or sq1 == sq0 or st1 == st0)
+                if big and sq1 - sq0 >= 64 and st1 - st0 >= 64:
+                    sp, tp2 = find_anchors(qa[sq0:sq1], ta[st0:st1], 13,
+                                           max_occ=4)
+                    sqc, stc = pick_cuts(sp, tp2, 13, 128,
+                                         self.solver.lseg - 1,
+                                         self.solver.K // 2 - 8)
+                    rq.extend(c + sq0 for c in sqc)
+                    rt.extend(c + st0 for c in stc)
+                rq.append(sq1)
+                rt.append(st1)
+            bounds_q, bounds_t = rq, rt
             bounds_of[ji] = (bounds_q, bounds_t)
             pieces = []
             for pi in range(len(bounds_q) - 1):
