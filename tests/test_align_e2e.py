@@ -162,3 +162,80 @@ def test_sam_output(tmp_path):
         assert int(f[3]) >= 1
         assert any(x.startswith("MD:Z:") for x in f)
         assert any(x.startswith("NM:i:") for x in f)
+
+
+def test_overlong_mapping_row_clamps(tmp_path):
+    """Merged-chain mapping rows can claim q_end beyond the query length
+    (the reference emits them too; its faidx fetch clamps). The aligned
+    row must stay inside the sequence and replay exactly."""
+    import numpy as np
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams
+    from wfmash_tpu.sketch.kmers import reverse_complement
+    from util import random_dna, write_fasta
+
+    rng = np.random.default_rng(41)
+    t = random_dna(rng, 3000)
+    q = bytes(reverse_complement(bytearray(t[400:2400])))  # 2000bp, rev
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"tt": t})
+    write_fasta(qfa, {"qq": q})
+    # q_end 2300 > qlen 2000 (overlong), '-' strand
+    paf = (f"qq\t2000\t0\t2300\t-\ttt\t3000\t400\t2400\t100\t2300\t60\t"
+           f"id:f:0.99\tkc:f:1\n")
+    mpaf = tmp_path / "m.paf"
+    mpaf.write_text(paf)
+    ap = AlignParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                     mashmap_paf_file=str(mpaf), target_padding=0,
+                     query_padding=0)
+    import io
+
+    out = io.StringIO()
+    run_alignment(ap, out)
+    rows = out.getvalue().splitlines()
+    assert rows
+    f = rows[0].split("\t")
+    assert int(f[3]) <= 2000 and int(f[2]) >= 0
+    from wfmash_tpu.io.paf import parse_paf_line
+
+    validate_paf_row(parse_paf_line(rows[0]), {"tt": t}, {"qq": q})
+
+
+def test_threaded_align_identical(tmp_path):
+    """-t 4 align (fork-pool patching + host leaves) must produce output
+    byte-identical to -t 1."""
+    import io
+
+    import numpy as np
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(55)
+    t = random_dna(rng, 30_000)
+    queries = {f"q{i}": mutate(rng, t[i * 1_000:i * 1_000 + 12_000], 0.04)
+               for i in range(6)}
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": t})
+    write_fasta(qfa, queries)
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.9, auto_pct_identity=False,
+                   threads=1).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    mpaf = tmp_path / "m.paf"
+    mpaf.write_text(buf.getvalue())
+
+    outs = []
+    for nthreads in (1, 4):
+        ap = AlignParams(ref_sequences=[str(tfa)],
+                         query_sequences=[str(qfa)],
+                         mashmap_paf_file=str(mpaf), threads=nthreads)
+        out = io.StringIO()
+        run_alignment(ap, out)
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
+    assert outs[0].strip()

@@ -120,6 +120,13 @@ def finish_record(job: AlignmentJob, ops, engine, disable_chain_patching=False):
     return ops
 
 
+def finish_record_host(job, ops, penalties, disable_chain_patching=False):
+    """Fork-pool worker for the patch/swizzle phase: host engine only
+    (boundary patches always run on host regardless of main engine)."""
+    return finish_record(job, ops, HostWfaEngine(penalties),
+                         disable_chain_patching)
+
+
 def align_records_batched(jobs: list, engine, disable_chain_patching=False):
     """Phase-structured batch: all main end-to-end alignments go through the
     (device) engine as one batch; boundary patches/swizzles follow per

@@ -119,18 +119,22 @@ def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
         query = bytes(reverse_complement(qnorm))
     else:
         query = bytes(qnorm)
+    # lengths come from the FETCHED regions, not the PAF spans: merged
+    # chains can claim q_end/r_end beyond the sequence (the reference
+    # emits those rows too and its faidx fetch clamps, so queryLen /
+    # refLen are the clamped values — computeAlignments.hpp:645-651)
     return AlignmentJob(
         query_name=row["query_name"],
         query=query,
         query_total_length=row["query_len"],
         query_offset=row["q_start"],
-        query_length=row["q_end"] - row["q_start"],
+        query_length=len(query),
         query_is_rev=row["is_rev"],
         target_name=row["target_name"],
         target=target,
         target_total_length=row["target_len"],
         target_offset=row["r_start"],
-        target_length=row["r_end"] - row["r_start"],
+        target_length=len(target),
         mashmap_estimated_identity=row["mm_id"],
         chain_id=row["chain_id"],
         chain_length=row["chain_length"],
@@ -158,6 +162,7 @@ def make_engine(params: AlignParams):
         from .wfa_jax import JaxWfaEngine
 
         engine = JaxWfaEngine(penalties)
+        engine.threads = max(1, int(getattr(params, "threads", 1)))
     except Exception as e:  # pragma: no cover - fallback path
         log(f"[wfmash::align] JAX WFA engine unavailable ({e}); using host engine")
         return HostWfaEngine(penalties)
@@ -229,9 +234,32 @@ def run_alignment(params: AlignParams, out) -> None:
         if hasattr(engine, "inversions"):
             engine.inversions = []
         try:
-            ops_list = align_records_batched(
-                chunk, engine, params.disable_chain_patching
-            )
+            if params.threads > 1 and len(chunk) >= 8:
+                # device mains in one batch, then the host-side
+                # erode/patch/swizzle phase across a fork pool (children
+                # run pure-numpy WFA only; the reference uses taskflow
+                # workers here, computeAlignments.hpp:398-435)
+                from .biwfa import finish_record_host
+
+                mains = engine.align_batch(
+                    [(j.query, j.target, None) for j in chunk])
+                import multiprocessing as mp_mod
+
+                penalties = (getattr(engine, "p", None)
+                             or getattr(engine, "penalties", None))
+                ctx = mp_mod.get_context("fork")
+                with ctx.Pool(processes=params.threads) as pool:
+                    ops_list = pool.starmap(
+                        finish_record_host,
+                        [(job, ops, penalties,
+                          params.disable_chain_patching)
+                         for job, ops in zip(chunk, mains)],
+                        chunksize=max(1, len(chunk) //
+                                      (4 * params.threads)))
+            else:
+                ops_list = align_records_batched(
+                    chunk, engine, params.disable_chain_patching
+                )
         except Exception as e:
             log(f"[wfmash::align] Batch error, falling back per-record: {e}")
             ops_list = []

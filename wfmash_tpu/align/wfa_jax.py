@@ -52,6 +52,12 @@ CHUNK = 64
 M_, I1_, I2_, D1_, D2_ = 0, 1, 2, 3, 4
 
 
+def _host_solve(q, t, ef, p):
+    """Fork-pool worker: pure-numpy host WFA (no device access)."""
+    _, ops = wfa_align(q, t, p, ef)
+    return ops
+
+
 def _wfa_log(msg: str) -> None:
     import sys
 
@@ -487,6 +493,9 @@ class JaxWfaEngine:
         # lazily, or injected by SegmentedEngine to share compiles.
         self.seg_solver = None
         self.seg_min_batch = 24
+        # host-leaf fork pool width (set from -t by make_engine); child
+        # processes run pure-numpy wfa_align only — no device access
+        self.threads = 1
 
     def _pallas_sweeps(self):
         if self._pallas is None:
@@ -625,10 +634,28 @@ class JaxWfaEngine:
                         i, order, _, _, _ = deferred[k]
                         results[i][order] = ops
                         solved[k] = True
-        for k, (i, order, q, t, ef) in enumerate(deferred):
-            if not solved[k]:
-                _, ops = wfa_align(q, t, self.p, ef)
-                results[i][order] = ops
+        rest = [k for k in range(len(deferred)) if not solved[k]]
+        if self.threads > 1 and len(rest) >= 8:
+            import multiprocessing as mp_mod
+
+            try:
+                ctx = mp_mod.get_context("fork")
+                with ctx.Pool(processes=min(self.threads, len(rest))) as pl_:
+                    got = pl_.starmap(
+                        _host_solve,
+                        [(deferred[k][2], deferred[k][3], deferred[k][4],
+                          self.p) for k in rest],
+                        chunksize=max(1, len(rest) // (4 * self.threads)))
+                for k, ops in zip(rest, got):
+                    i, order, _, _, _ = deferred[k]
+                    results[i][order] = ops
+                rest = []
+            except Exception:   # pragma: no cover - platform-specific
+                pass
+        for k in rest:
+            i, order, q, t, ef = deferred[k]
+            _, ops = wfa_align(q, t, self.p, ef)
+            results[i][order] = ops
 
         out = []
         for i in range(len(jobs)):
