@@ -1,72 +1,92 @@
-"""Benchmark: batched exact WFA sweep throughput on the real device.
+"""Benchmark: the reference's headline workload, end to end, on TPU.
 
-Runs the shipped Pallas wavefront engine (wfmash_tpu.align.wfa_pallas —
-the compute path of the aligner, equivalent to WFA2-lib's wavefront
-compute+extend loop) end-to-end on a standard workload: 64 alignment
-problems of ~16 kb at 5% divergence, exact 2-piece-affine penalties
-(5,8,2,24,1), diagonal span 1024. Cells = (problem, diagonal, state)
-updates per score step, counted over the scores actually swept.
+Runs `wfmash data/LPA.subset.fa.gz -p 80 -n 5 -t 8` — the de-facto
+wfmash performance benchmark (doc/performance-tuning.md; best published
+number 5.971 s wall on an 8-core AVX2 Ryzen 3700X, static+native
+build) — through the full wfmash-tpu pipeline: host/native mapping +
+anchored segmented alignment on the device segment kernel.
 
-Baseline: wfmash's WFA2-lib sustains roughly 1-2 Gcells/s/core on the
-AVX2 CPUs of doc/performance-tuning.md; the 8-core LPA benchmark machine
-is taken as ~10 Gcells/s. vs_baseline is our single-chip ratio to that.
+Protocol: mapping is timed directly; the align phase runs TWICE in
+process and the SECOND run is timed. The first run absorbs the one-off
+kernel compilations, which through the axon tunnel happen server-side
+at first execution (30-400 s/program, LRU-cached per server — see
+ARCHITECTURE.md); a deployment on local TPU hosts pays them once per
+program lifetime via the persistent JAX cache. Reported value =
+mapping wall + warm align wall; vs_baseline = 5.971 / value.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import io
 import json
+import os
+import sys
 import time
 
-import numpy as np
+
+LPA = "/root/reference/data/LPA.subset.fa.gz"
+BASELINE_WALL = 5.971    # s, reference static+native build, 8C Ryzen
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
-    from wfmash_tpu.align.wfa_np import Penalties
-    from wfmash_tpu.align.wfa_pallas import NEG_I, UNSET32, PallasSweeps
+    from wfmash_tpu.utils import jaxcache
 
-    p = Penalties(5, 8, 2, 24, 1)
-    B, K, L = 64, 512, 16384  # the engine ladder picks K=512 here
-    rng = np.random.default_rng(0)
-    q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, (B, L))]
-    t = q.copy()
-    mut = rng.random((B, L)) < 0.05
-    t[mut] = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, int(mut.sum()))]
-    m = L - 64
-    query = np.full((B, L), 0x01, np.uint8)
-    query[:, :m] = q[:, :m]
-    target = np.full((B, L), 0x02, np.uint8)
-    target[:, :m] = t[:, :m]
-    qlen = np.full(B, m, np.int32)
-    tlen = np.full(B, m, np.int32)
-    axis_q = np.zeros(B, bool)
-    mid = tlen // 2
-    seed_off = np.full((B, K), NEG_I, np.int32)
-    seed_off[:, K // 2] = 0
-    seed_anc = np.full((B, K), UNSET32, np.uint32)
-    done0 = np.zeros(B, bool)
+    jaxcache.enable()
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
 
-    eng = PallasSweeps(p, interpret=False)
+    threads = min(8, os.cpu_count() or 1)
+    mp = MapParams(
+        ref_sequences=[LPA], query_sequences=[LPA],
+        percentage_identity=0.80, auto_pct_identity=False,
+        num_mappings_for_segment=5, threads=threads,
+    ).finalize()
 
-    def run():
-        return eng.sweep(query, target, qlen, tlen, axis_q, mid,
-                         seed_off, seed_anc, done0, max_s=200000, K=K)
+    t0 = time.time()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    map_wall = time.time() - t0
+    map_paf = "/tmp/wfmash-tpu-bench-map.paf"
+    with open(map_paf, "w") as fh:
+        fh.write(buf.getvalue())
+    n_rows = buf.getvalue().count("\n")
+    log(f"[bench] mapping: {n_rows} records in {map_wall:.2f}s")
 
-    f_score, _, _, fin, _clip = run()  # compile + warm
-    assert fin.all()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        f_score, _, _, fin, _ = run()
-        best = min(best, time.time() - t0)
+    ap = AlignParams(
+        ref_sequences=[LPA], query_sequences=[LPA],
+        mashmap_paf_file=map_paf, threads=threads,
+    )
 
-    cells = int(f_score.astype(np.int64).sum()) * K * 5
-    gcells = cells / best / 1e9
-    baseline = 10.0  # Gcells/s, 8-core AVX2 WFA2-lib estimate
+    t0 = time.time()
+    out1 = io.StringIO()
+    run_alignment(ap, out1)
+    log(f"[bench] align warm-up (incl. compiles): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out2 = io.StringIO()
+    run_alignment(ap, out2)
+    align_wall = time.time() - t0
+    n_aligned = out2.getvalue().count("\n")
+    log(f"[bench] align warm: {n_aligned} records in {align_wall:.2f}s")
+    assert out1.getvalue() == out2.getvalue(), "non-deterministic output"
+    assert n_aligned > 2000, "suspiciously few aligned records"
+
+    try:
+        os.unlink(map_paf)
+    except OSError:
+        pass
+
+    value = map_wall + align_wall
     print(json.dumps({
-        "metric": "wfa_sweep_throughput",
-        "value": round(gcells, 4),
-        "unit": "Gcells/s/chip",
-        "vs_baseline": round(gcells / baseline, 4),
+        "metric": "lpa_allvsall_e2e_warm_wall",
+        "value": round(value, 2),
+        "unit": "s (map+align, lower is better)",
+        "vs_baseline": round(BASELINE_WALL / value, 4),
     }))
 
 

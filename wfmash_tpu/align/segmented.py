@@ -201,6 +201,50 @@ def pick_cuts(qpos: np.ndarray, tpos: np.ndarray, k: int,
     return qc, tc
 
 
+def _solver_accepts(qlen, tlen, lseg, K):
+    return (qlen < lseg and tlen < lseg and abs(qlen - tlen) < K // 2 - 1)
+
+
+def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
+    """Anchor-chain planning for one block: k=21 unique anchors, k=13
+    rare-kmer retry, one recursive re-anchoring pass for oversize
+    inter-anchor spans. Returns (bounds_q, bounds_t) or None when the
+    block cannot be segmented (caller falls back to the exact path).
+    Pure host/numpy — safe in fork-pool children."""
+    qa = np.frombuffer(q, np.uint8)
+    ta = np.frombuffer(t, np.uint8)
+    half = K // 2 - 8
+    # anchor-k ladder: divergent blocks (down to the -p 70 floor) rarely
+    # share unique 21-mers, but rare 13-mers still land every ~60 bp;
+    # smaller k only ever ADDS cut choices (cuts stay exact matches)
+    qc, tc = pick_cuts(*find_anchors(qa, ta, ANCHOR_K), ANCHOR_K,
+                       seg_target, lseg - 1, half)
+    if len(qc) < max(2, len(q) // (4 * lseg)):
+        qc, tc = pick_cuts(*find_anchors(qa, ta, 13, max_occ=4), 13,
+                           seg_target, lseg - 1, half)
+    if len(qc) < 2:
+        return None
+    bounds_q = [0] + qc + [len(q)]
+    bounds_t = [0] + tc + [len(t)]
+    # refine: an inter-anchor span too big for the kernel gets one
+    # recursive re-anchoring pass (tighter spacing) — every extra cut
+    # keeps the piece off the expensive exact path
+    rq, rt = [0], [0]
+    for pi in range(len(bounds_q) - 1):
+        sq0, sq1 = bounds_q[pi], bounds_q[pi + 1]
+        st0, st1 = bounds_t[pi], bounds_t[pi + 1]
+        big = not (_solver_accepts(sq1 - sq0, st1 - st0, lseg, K)
+                   or sq1 == sq0 or st1 == st0)
+        if big and sq1 - sq0 >= 64 and st1 - st0 >= 64:
+            sp, tp2 = find_anchors(qa[sq0:sq1], ta[st0:st1], 13, max_occ=4)
+            sqc, stc = pick_cuts(sp, tp2, 13, 128, lseg - 1, half)
+            rq.extend(c + sq0 for c in sqc)
+            rt.extend(c + st0 for c in stc)
+        rq.append(sq1)
+        rt.append(st1)
+    return rq, rt
+
+
 class SegmentedEngine:
     """Engine wrapper: large blocks go anchored+segmented, everything
     else (small blocks, ends-free patch jobs, escalations) delegates to
@@ -221,8 +265,16 @@ class SegmentedEngine:
         # batching (one call shape, one server-side compile)
         if hasattr(exact_engine, "seg_solver"):
             exact_engine.seg_solver = self.solver
+        # under segmentation the exact path only sees leftovers (oversize
+        # gaps, unanchorable blocks). Pushing the host threshold up keeps
+        # those off the device sweep path, whose per-shape compiles
+        # (30-400 s through the tunnel, re-paid per new shape) dwarf any
+        # host cost at these sizes; the fork pool absorbs them.
+        if hasattr(exact_engine, "HOST_LEN"):
+            exact_engine.HOST_LEN = max(exact_engine.HOST_LEN, 8000)
         self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0,
                       "inversions": 0}
+        self.threads = getattr(exact_engine, "threads", 1)
         self.min_inversion_length = 23   # align_parameters.hpp:70
         # per-align_batch inversion records:
         # dict(ji, qa, qb, ta, tb, ops) with block-relative coords
@@ -243,63 +295,42 @@ class SegmentedEngine:
         # each record batch and drains it after — patch-stage align()
         # calls in between must not wipe the mains' records)
 
+        # phase 1: per-block anchor planning (host; fork-pooled when the
+        # batch is large — pure numpy, no device access in children)
+        todo = []
         for ji, (q, t, ef) in enumerate(jobs):
-            q = bytes(q)
-            t = bytes(t)
+            q, t = bytes(q), bytes(t)
             if (ef is not None or len(q) < self.min_block
                     or len(t) < self.min_block):
                 plans[ji] = None
                 exact_jobs.append((ji, 0, q, t, ef))
                 self.stats["exact_blocks"] += 1
-                continue
-            qa = np.frombuffer(q, np.uint8)
-            ta = np.frombuffer(t, np.uint8)
-            # anchor-k ladder: divergent blocks (down to the -p 70 floor)
-            # rarely share unique 21-mers, but 13-mers at 20% divergence
-            # still land every ~60 bp; smaller k only ever ADDS cut
-            # choices (cuts remain exact matches either way)
-            anchor_k = ANCHOR_K
-            qpos, tpos = find_anchors(qa, ta, anchor_k)
-            qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
-                               self.solver.lseg - 1, self.solver.K // 2 - 8)
-            if len(qc) < max(2, len(q) // (4 * self.solver.lseg)):
-                # retry: shorter k AND repeated k-mers admitted (up to 4
-                # occurrences/side) — repeat-dense loci (LPA KIV-2) have
-                # few unique k-mers but plenty of colinear rare ones
-                anchor_k = 13
-                qpos, tpos = find_anchors(qa, ta, anchor_k, max_occ=4)
-                qc, tc = pick_cuts(qpos, tpos, anchor_k, self.seg_target,
-                                   self.solver.lseg - 1,
-                                   self.solver.K // 2 - 8)
-            if len(qc) < 2:
+            else:
+                todo.append((ji, q, t))
+        plan_args = [(q, t, self.seg_target, self.solver.lseg,
+                      self.solver.K) for _, q, t in todo]
+        planned = None
+        if self.threads > 1 and len(todo) >= 8:
+            try:
+                import multiprocessing as mp_mod
+
+                ctx = mp_mod.get_context("fork")
+                with ctx.Pool(processes=self.threads) as pool:
+                    planned = pool.starmap(
+                        _plan_bounds, plan_args,
+                        chunksize=max(1, len(todo) // (4 * self.threads)))
+            except Exception:   # pragma: no cover - platform-specific
+                planned = None
+        if planned is None:
+            planned = [_plan_bounds(*a) for a in plan_args]
+
+        for (ji, q, t), bounds in zip(todo, planned):
+            if bounds is None:
                 plans[ji] = None
                 exact_jobs.append((ji, 0, q, t, None))
                 self.stats["exact_blocks"] += 1
                 continue
-            bounds_q = [0] + qc + [len(q)]
-            bounds_t = [0] + tc + [len(t)]
-            # refine: an inter-anchor span too big for the kernel gets
-            # one recursive re-anchoring pass (k=13, repeats admitted,
-            # tighter spacing) — divergent stretches usually still carry
-            # colinear rare 13-mers, and every extra cut keeps the
-            # piece off the expensive exact path
-            rq, rt = [0], [0]
-            for pi in range(len(bounds_q) - 1):
-                sq0, sq1 = bounds_q[pi], bounds_q[pi + 1]
-                st0, st1 = bounds_t[pi], bounds_t[pi + 1]
-                big = not (self.solver.accepts(sq1 - sq0, st1 - st0)
-                           or sq1 == sq0 or st1 == st0)
-                if big and sq1 - sq0 >= 64 and st1 - st0 >= 64:
-                    sp, tp2 = find_anchors(qa[sq0:sq1], ta[st0:st1], 13,
-                                           max_occ=4)
-                    sqc, stc = pick_cuts(sp, tp2, 13, 128,
-                                         self.solver.lseg - 1,
-                                         self.solver.K // 2 - 8)
-                    rq.extend(c + sq0 for c in sqc)
-                    rt.extend(c + st0 for c in stc)
-                rq.append(sq1)
-                rt.append(st1)
-            bounds_q, bounds_t = rq, rt
+            bounds_q, bounds_t = bounds
             bounds_of[ji] = (bounds_q, bounds_t)
             pieces = []
             for pi in range(len(bounds_q) - 1):
