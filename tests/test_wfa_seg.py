@@ -111,3 +111,24 @@ def test_seg_fuzz_tie_breaks():
         jobs.append((bytes(q), t))
     _check(jobs, PATCH)
     _check(jobs, WFLIGN)
+
+
+def test_tiered_solver_bit_identical():
+    """Tier-1 (PB=64,K=128,smax=128) results and tier-2 escalations must
+    both be bit-identical to wfa_np."""
+    from wfmash_tpu.align.wfa_pallas_seg import TieredSegmentSolver
+
+    rng = np.random.default_rng(19)
+    jobs = []
+    for _ in range(6):
+        n = int(rng.integers(60, 300))
+        jobs.append(make_pair(rng, n, sub=0.04, indel=0.01, max_indel=5))
+    # a big-gap pair tier 1 must reject (|m-n| = 100 > K1/2) and tier 2
+    # must solve
+    s = random_dna(rng, 400)
+    jobs.append((s, s[:150] + s[250:]))
+    sol = TieredSegmentSolver(PATCH, interpret=True)
+    got = sol.solve(jobs)
+    for (q, t), ops in zip(jobs, got):
+        _, ref = wfa_align(q, t, PATCH)
+        assert ops == ref, (len(q), len(t))

@@ -254,13 +254,14 @@ class SegmentedEngine:
     def __init__(self, penalties: Penalties, exact_engine,
                  interpret: bool = False, seg_target: int = 256,
                  min_block: int = 600, solver=None):
-        from .wfa_pallas_seg import SegmentSolver
+        from .wfa_pallas_seg import TieredSegmentSolver
 
         self.p = penalties
         self.exact = exact_engine
         self.seg_target = seg_target
         self.min_block = min_block
-        self.solver = solver or SegmentSolver(penalties, interpret=interpret)
+        self.solver = solver or TieredSegmentSolver(penalties,
+                                                    interpret=interpret)
         # share the compiled segment kernel with the exact engine's leaf
         # batching (one call shape, one server-side compile)
         if hasattr(exact_engine, "seg_solver"):

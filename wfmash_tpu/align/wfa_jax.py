@@ -519,9 +519,9 @@ class JaxWfaEngine:
     def _get_seg_solver(self):
         if self.seg_solver is None and self.backend in (
                 "pallas", "pallas-interpret"):
-            from .wfa_pallas_seg import SegmentSolver
+            from .wfa_pallas_seg import TieredSegmentSolver
 
-            self.seg_solver = SegmentSolver(
+            self.seg_solver = TieredSegmentSolver(
                 self.p, interpret=self.backend == "pallas-interpret")
         return self.seg_solver
 

@@ -438,7 +438,7 @@ class SegmentSolver:
 
     def __init__(self, penalties: Penalties, interpret: bool = False,
                  PB: int = 16, K: int = 256, smax: int = 256,
-                 lseg: int = 512, max_problems_per_call: int = 1024):
+                 lseg: int = 512):
         self.p = penalties
         self.interpret = interpret
         self.PB = PB
@@ -446,7 +446,7 @@ class SegmentSolver:
         self.smax = smax
         self.lseg = lseg
         self.maxr = 2 * smax + 128
-        self.max_call = max_problems_per_call
+        self.max_call = self.G_LADDER[-1] * PB
         self.e_min = min(penalties.gap_extension1, penalties.gap_extension2)
 
     def accepts(self, qlen: int, tlen: int) -> bool:
@@ -518,3 +518,47 @@ class SegmentSolver:
             vals = runs[j, c + 1:self.maxr]
             ops = [(int(v) & 0xFFFFFF, OP_CHARS[int(v) >> 24]) for v in vals]
             results[i] = ops
+
+
+class TieredSegmentSolver:
+    """Two kernel configurations behind one solve():
+
+    * tier 1 — PB=64, K=128, smax=128: four times the problems per
+      grid step at half the diagonal band; covers the bulk of anchored
+      segments (~256 bp, near-diagonal, low divergence);
+    * tier 2 — PB=16, K=256, smax=256: wider band and score budget for
+      tier-1 rejections (clipped, score cap, bigger |m-n|).
+
+    Both are single-shape compiles; a job failing both returns None for
+    the caller's exact-engine escalation.
+    """
+
+    def __init__(self, penalties: Penalties, interpret: bool = False):
+        self.p = penalties
+        self.t1 = SegmentSolver(penalties, interpret, PB=64, K=128,
+                                smax=128)
+        self.t2 = SegmentSolver(penalties, interpret, PB=16, K=256,
+                                smax=256)
+        self.lseg = self.t2.lseg
+        self.K = self.t2.K
+        self.smax = self.t2.smax
+
+    def accepts(self, qlen: int, tlen: int) -> bool:
+        return self.t2.accepts(qlen, tlen)
+
+    def solve(self, jobs):
+        res: list = [None] * len(jobs)
+        t1_idx = [i for i, (q, t) in enumerate(jobs)
+                  if self.t1.accepts(len(q), len(t))
+                  or not q or not t]
+        if t1_idx:
+            got = self.t1.solve([jobs[i] for i in t1_idx])
+            for i, o in zip(t1_idx, got):
+                res[i] = o
+        t2_idx = [i for i in range(len(jobs)) if res[i] is None
+                  and self.t2.accepts(len(jobs[i][0]), len(jobs[i][1]))]
+        if t2_idx:
+            got = self.t2.solve([jobs[i] for i in t2_idx])
+            for i, o in zip(t2_idx, got):
+                res[i] = o
+        return res
