@@ -243,19 +243,20 @@ def run_alignment(params: AlignParams, out) -> None:
 
                 mains = engine.align_batch(
                     [(j.query, j.target, None) for j in chunk])
-                import multiprocessing as mp_mod
+                from ..utils.hostpool import get_pool
 
                 penalties = (getattr(engine, "p", None)
                              or getattr(engine, "penalties", None))
-                ctx = mp_mod.get_context("fork")
-                with ctx.Pool(processes=params.threads) as pool:
-                    ops_list = pool.starmap(
-                        finish_record_host,
-                        [(job, ops, penalties,
-                          params.disable_chain_patching)
-                         for job, ops in zip(chunk, mains)],
-                        chunksize=max(1, len(chunk) //
-                                      (4 * params.threads)))
+                pool = get_pool(params.threads)
+                if pool is None:
+                    raise RuntimeError("host pool unavailable")
+                ops_list = pool.starmap(
+                    finish_record_host,
+                    [(job, ops, penalties,
+                      params.disable_chain_patching)
+                     for job, ops in zip(chunk, mains)],
+                    chunksize=max(1, len(chunk) //
+                                  (4 * params.threads)))
             else:
                 ops_list = align_records_batched(
                     chunk, engine, params.disable_chain_patching

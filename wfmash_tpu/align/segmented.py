@@ -311,17 +311,14 @@ class SegmentedEngine:
         plan_args = [(q, t, self.seg_target, self.solver.lseg,
                       self.solver.K) for _, q, t in todo]
         planned = None
-        if self.threads > 1 and len(todo) >= 8:
-            try:
-                import multiprocessing as mp_mod
+        if self.threads > 1 and len(todo) >= 32:
+            from ..utils.hostpool import get_pool
 
-                ctx = mp_mod.get_context("fork")
-                with ctx.Pool(processes=self.threads) as pool:
-                    planned = pool.starmap(
-                        _plan_bounds, plan_args,
-                        chunksize=max(1, len(todo) // (4 * self.threads)))
-            except Exception:   # pragma: no cover - platform-specific
-                planned = None
+            pool = get_pool(self.threads)
+            if pool is not None:
+                planned = pool.starmap(
+                    _plan_bounds, plan_args,
+                    chunksize=max(1, len(todo) // (4 * self.threads)))
         if planned is None:
             planned = [_plan_bounds(*a) for a in plan_args]
 
@@ -341,7 +338,24 @@ class SegmentedEngine:
                 if self.solver.accepts(len(sq), len(st)) or not sq or not st:
                     seg_jobs.append((ji, pi, sq, st))
                 else:
-                    exact_jobs.append((ji, pi, sq, st, None))
+                    # a piece with a multi-hundred-bp length skew is a
+                    # structural gap: end-to-end WFA would pay O(skew)
+                    # score levels just to emit the gap. Free both ends
+                    # of the LONGER side instead — the shorter side
+                    # aligns locally and the remainder comes out as
+                    # leading/trailing gap runs (still consuming both
+                    # sequences fully, so stitching stays replay-exact)
+                    ef = None
+                    skew = len(sq) - len(st)
+                    if abs(skew) > 400:
+                        from .wfa_np import EndsFree
+
+                        if skew > 0:
+                            ef = EndsFree(query_begin=skew, query_end=skew)
+                        else:
+                            ef = EndsFree(target_begin=-skew,
+                                          target_end=-skew)
+                    exact_jobs.append((ji, pi, sq, st, ef))
             plans[ji] = pieces
 
         # device lockstep pass over every segment of every block
@@ -418,7 +432,7 @@ class SegmentedEngine:
         mil = self.min_inversion_length
         cands = []
         for (ji, pi, sq, st, _ef) in candidates:
-            if (len(sq) < mil or len(st) < mil
+            if (_ef is not None or len(sq) < mil or len(st) < mil
                     or plans[ji] is None or plans[ji][pi] is None):
                 continue
             cands.append((ji, pi, sq, st))

@@ -636,22 +636,19 @@ class JaxWfaEngine:
                         solved[k] = True
         rest = [k for k in range(len(deferred)) if not solved[k]]
         if self.threads > 1 and len(rest) >= 8:
-            import multiprocessing as mp_mod
+            from ..utils.hostpool import get_pool
 
-            try:
-                ctx = mp_mod.get_context("fork")
-                with ctx.Pool(processes=min(self.threads, len(rest))) as pl_:
-                    got = pl_.starmap(
-                        _host_solve,
-                        [(deferred[k][2], deferred[k][3], deferred[k][4],
-                          self.p) for k in rest],
-                        chunksize=max(1, len(rest) // (4 * self.threads)))
+            pool = get_pool(self.threads)
+            if pool is not None:
+                got = pool.starmap(
+                    _host_solve,
+                    [(deferred[k][2], deferred[k][3], deferred[k][4],
+                      self.p) for k in rest],
+                    chunksize=max(1, len(rest) // (4 * self.threads)))
                 for k, ops in zip(rest, got):
                     i, order, _, _, _ = deferred[k]
                     results[i][order] = ops
                 rest = []
-            except Exception:   # pragma: no cover - platform-specific
-                pass
         for k in rest:
             i, order, q, t, ef = deferred[k]
             _, ops = wfa_align(q, t, self.p, ef)
