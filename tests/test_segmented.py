@@ -174,3 +174,46 @@ def test_inversion_row_e2e(tmp_path):
     f = iv[0].split("\t")
     assert f[4] == "-" and "pt:Z:true" in iv[0]
     assert 8_800 <= int(f[2]) <= 9_200 and 9_200 <= int(f[3]) <= 9_600
+
+
+def test_strict_parity_suppresses_inversion_rows(tmp_path):
+    """--strict-parity / WFMASH_TPU_STRICT_PARITY=1 must produce a PAF
+    with no pt:Z/iv:Z rows (dead-upstream outputs) while keeping the
+    main alignment rows intact."""
+    import io
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from wfmash_tpu.sketch.kmers import reverse_complement
+    from util import write_fasta
+
+    rng = np.random.default_rng(7)
+    t = random_dna(rng, 20_000)
+    invseg = bytes(reverse_complement(bytearray(t[9_000:9_400])))
+    q = mutate(rng, t[:9_000], 0.01) + invseg + mutate(rng, t[9_400:], 0.01)
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": t})
+    write_fasta(qfa, {"q1": q})
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.9, auto_pct_identity=False,
+                   threads=1).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    mpaf = tmp_path / "m.paf"
+    mpaf.write_text(buf.getvalue())
+    import os
+
+    os.environ["WFMASH_TPU_WFA_ENGINE"] = "auto"
+    try:
+        ap = AlignParams(ref_sequences=[str(tfa)],
+                         query_sequences=[str(qfa)],
+                         mashmap_paf_file=str(mpaf),
+                         strict_parity=True)
+        out = io.StringIO()
+        run_alignment(ap, out)
+    finally:
+        os.environ.pop("WFMASH_TPU_WFA_ENGINE", None)
+    rows = out.getvalue().splitlines()
+    assert rows, "no alignment rows at all"
+    assert not [r for r in rows if "iv:Z:" in r or "pt:Z:" in r]

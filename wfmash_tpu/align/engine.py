@@ -178,7 +178,10 @@ def make_engine(params: AlignParams):
         from .segmented import SegmentedEngine
 
         interp = jax.devices()[0].platform == "cpu"
-        return SegmentedEngine(penalties, engine, interpret=interp)
+        seng = SegmentedEngine(penalties, engine, interpret=interp)
+        if getattr(params, "strict_parity", False):
+            seng.detect_inversions = False
+        return seng
     return engine
 
 
@@ -304,7 +307,9 @@ def run_alignment(params: AlignParams, out) -> None:
 
         # inversion patches detected inside this chunk's blocks emit as
         # extra rows (PAF only — wflign_patch.cpp:2361-2392 semantics)
-        if not params.sam_format and getattr(engine, "inversions", None):
+        if (not params.sam_format
+                and not getattr(params, "strict_parity", False)
+                and getattr(engine, "inversions", None)):
             from .biwfa import write_inversion_row
 
             for inv in engine.inversions:

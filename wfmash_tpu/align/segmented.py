@@ -277,6 +277,9 @@ class SegmentedEngine:
                       "inversions": 0}
         self.threads = getattr(exact_engine, "threads", 1)
         self.min_inversion_length = 23   # align_parameters.hpp:70
+        # strict-parity mode skips the rev-comp inversion try entirely
+        # (the emitting code is dead in the reference binary)
+        self.detect_inversions = True
         # per-align_batch inversion records:
         # dict(ji, qa, qb, ta, tb, ops) with block-relative coords
         self.inversions: list = []
@@ -395,9 +398,10 @@ class SegmentedEngine:
         # divergent piece — escalated segments and oversize inter-anchor
         # gaps — gets a reverse-complement attempt with a 0.9x score
         # budget; completions are recorded for extra iv:Z:true PAF rows
-        self._detect_inversions(
-            plans, bounds_of,
-            escal_jobs + [e for e in exact_jobs if e[0] in bounds_of])
+        if self.detect_inversions:
+            self._detect_inversions(
+                plans, bounds_of,
+                escal_jobs + [e for e in exact_jobs if e[0] in bounds_of])
         if n >= 16:
             import sys
 

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--min-block-id", type=float, default=0.1)
     g.add_argument("--force-wflign", action="store_true")
     g.add_argument("--wflambda-segment", type=int, default=256)
+    g.add_argument("--strict-parity", action="store_true",
+                   help="suppress outputs dead in the reference binary "
+                        "(pt:Z/iv:Z inversion rows) for clean A/B diffs")
     g = p.add_argument_group("OUTPUT")
     g.add_argument("-a", "--sam", action="store_true")
     g.add_argument("-d", "--md-tag", action="store_true")
@@ -169,6 +172,10 @@ def parse_args(argv=None):
     ap.emit_md_tag = args.md_tag
     ap.sam_format = args.sam
     ap.force_wflign = args.force_wflign
+    import os as _os
+
+    ap.strict_parity = (args.strict_parity
+                        or _os.environ.get("WFMASH_TPU_STRICT_PARITY") == "1")
     mp.split = not args.no_split
     ap.split = not args.no_split
     mp.merge_mappings = not args.no_merge

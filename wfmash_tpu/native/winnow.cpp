@@ -208,11 +208,8 @@ int64_t winnow_scan(const uint8_t* seq, int64_t len, int k, int window_size,
                 Entry& e = it->second;
                 if (e.poslist.size() == 1) {
                     records.push_back(
-                        {leaving.hash, e.wpos, W, seq_id, (int8_t)0});
-                    records.back().strand = (int8_t)(e.strand < 0 ? -1 : 1);
-                    // keep raw strand sum semantics: store sum sign later;
-                    // we record the SUM here via a parallel approach below.
-                    records.back().strand = (int8_t)(e.strand < 0 ? -1 : 1);
+                        {leaving.hash, e.wpos, W, seq_id,
+                         (int8_t)(e.strand < 0 ? -1 : 1)});
                     sw.erase(it);
                 } else {
                     if (e.strand - leaving.vote == 0 || e.strand == 0) {

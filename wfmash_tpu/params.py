@@ -181,6 +181,11 @@ class AlignParams:
     sam_format: bool = False                  # -a
     no_seq_in_sam: bool = False
     disable_chain_patching: bool = False
+    # --strict-parity: suppress outputs the current reference binary can
+    # never emit (pt:Z/iv:Z inversion rows come from wflign_patch.cpp
+    # code that is dead upstream) so A/B PAF diffs vs a real wfmash run
+    # are clean. Also honored from env WFMASH_TPU_STRICT_PARITY=1.
+    strict_parity: bool = False
     multithread_fasta_input: bool = False
     use_progress_bar: bool = False
 
