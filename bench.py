@@ -11,10 +11,16 @@ process and the SECOND run is timed. The first run absorbs the one-off
 kernel compilations, which through the axon tunnel happen server-side
 at first execution (30-400 s/program, LRU-cached per server — see
 ARCHITECTURE.md); a deployment on local TPU hosts pays them once per
-program lifetime via the persistent JAX cache. Reported value =
-mapping wall + warm align wall; vs_baseline = 5.971 / value.
+program lifetime via the persistent JAX cache.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the round perf TRIO as three JSON lines (VERDICT round-2 #2),
+headline last:
+  1. wfa_sweep_throughput      — exact-engine Pallas sweep Gcells/s
+  2. align_device_busy_fraction — device wall / align wall on the warm
+     E2E pass (device time = forced D2H completion around every kernel
+     batch, the only reliable completion point through the tunnel)
+  3. lpa_allvsall_e2e_warm_wall — map wall + warm align wall (headline;
+     vs_baseline = 5.971 / value)
 """
 
 import io
@@ -22,6 +28,8 @@ import json
 import os
 import sys
 import time
+
+import numpy as np
 
 
 LPA = "/root/reference/data/LPA.subset.fa.gz"
@@ -32,6 +40,60 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_sweep() -> None:
+    """Round-1 metric, kept for the trend line: exact-engine wavefront
+    sweep throughput (64 x ~16 kb @ 5% divergence, K=512)."""
+    from wfmash_tpu.align.wfa_np import Penalties
+    from wfmash_tpu.align.wfa_pallas import NEG_I, UNSET32, PallasSweeps
+
+    p = Penalties(5, 8, 2, 24, 1)
+    B, K, L = 64, 512, 16384
+    rng = np.random.default_rng(0)
+    q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, (B, L))]
+    t = q.copy()
+    mut = rng.random((B, L)) < 0.05
+    t[mut] = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, int(mut.sum()))]
+    m = L - 64
+    query = np.full((B, L), 0x01, np.uint8)
+    query[:, :m] = q[:, :m]
+    target = np.full((B, L), 0x02, np.uint8)
+    target[:, :m] = t[:, :m]
+    qlen = np.full(B, m, np.int32)
+    tlen = np.full(B, m, np.int32)
+    axis_q = np.zeros(B, bool)
+    mid = tlen // 2
+    seed_off = np.full((B, K), NEG_I, np.int32)
+    seed_off[:, K // 2] = 0
+    seed_anc = np.full((B, K), UNSET32, np.uint32)
+    done0 = np.zeros(B, bool)
+
+    eng = PallasSweeps(p, interpret=False)
+
+    def run():
+        return eng.sweep(query, target, qlen, tlen, axis_q, mid,
+                         seed_off, seed_anc, done0, max_s=200000, K=K)
+
+    f_score, _, _, fin, _clip = run()  # compile + warm
+    assert np.asarray(fin).all()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        f_score, _, _, fin, _ = run()
+        np.asarray(fin)
+        best = min(best, time.time() - t0)
+
+    cells = int(np.asarray(f_score).astype(np.int64).sum()) * K * 5
+    gcells = cells / best / 1e9
+    baseline = 10.0  # Gcells/s, 8-core AVX2 WFA2-lib estimate
+    print(json.dumps({
+        "metric": "wfa_sweep_throughput",
+        "value": round(gcells, 4),
+        "unit": "Gcells/s/chip",
+        "vs_baseline": round(gcells / baseline, 4),
+    }), flush=True)
+
+
 def main() -> None:
     from wfmash_tpu.utils import jaxcache
 
@@ -39,6 +101,12 @@ def main() -> None:
     from wfmash_tpu.align.engine import run_alignment
     from wfmash_tpu.params import AlignParams, MapParams
     from wfmash_tpu.runner import run_mapping
+    from wfmash_tpu.utils import perf
+
+    try:
+        bench_sweep()
+    except Exception as e:  # keep the headline metric alive regardless
+        log(f"[bench] sweep benchmark failed: {e}")
 
     threads = min(8, os.cpu_count() or 1)
     mp = MapParams(
@@ -67,6 +135,7 @@ def main() -> None:
     run_alignment(ap, out1)
     log(f"[bench] align warm-up (incl. compiles): {time.time() - t0:.1f}s")
 
+    perf.reset()
     t0 = time.time()
     out2 = io.StringIO()
     run_alignment(ap, out2)
@@ -75,6 +144,17 @@ def main() -> None:
     log(f"[bench] align warm: {n_aligned} records in {align_wall:.2f}s")
     assert out1.getvalue() == out2.getvalue(), "non-deterministic output"
     assert n_aligned > 2000, "suspiciously few aligned records"
+
+    device_s = perf.get("align.device_s")
+    busy = device_s / align_wall if align_wall > 0 else 0.0
+    log(f"[bench] device busy: {device_s:.2f}s of {align_wall:.2f}s align "
+        f"wall ({perf.get('align.device_calls'):.0f} kernel batches)")
+    print(json.dumps({
+        "metric": "align_device_busy_fraction",
+        "value": round(busy, 4),
+        "unit": "device wall / align wall (warm pass)",
+        "vs_baseline": round(busy / 0.5, 4),   # VERDICT target: >= 0.5
+    }), flush=True)
 
     try:
         os.unlink(map_paf)
@@ -87,7 +167,7 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "s (map+align, lower is better)",
         "vs_baseline": round(BASELINE_WALL / value, 4),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -77,8 +77,10 @@ def test_segmented_small_blocks_delegate():
 
     s_opt, _ = wfa_vec_align(q, t, PATCH)
     assert score_cigar(ops, PATCH) == s_opt
-    assert eng.stats["exact_blocks"] == 1
-    assert eng.stats["segments"] == 0
+    # round 3: small blocks go to the device solver as ONE whole-block
+    # segment (exact WFA) instead of the host exact path
+    assert eng.stats["segments"] == 1
+    assert eng.stats["exact_blocks"] == 0
 
 
 def test_segmented_unanchorable_falls_back():

@@ -66,9 +66,27 @@ def test_seg_rejects_out_of_envelope():
     long = random_dna(rng, 600)       # > lseg-1
     got = solver.solve([(long, long)])
     assert got == [None]
-    q = random_dna(rng, 400)
-    t = q[:200]                       # |diff| = 200 > K/2 - 1
+    q = random_dna(rng, 500)
+    t = q[:250]                       # |diff| = 250 >= K - 2*margin
     assert solver.solve([(q, t)]) == [None]
+
+
+def test_seg_band_centering_covers_large_skew():
+    """|m-n| up to K - 2*margin - 1 is solvable now that the band is
+    re-centered per problem via sequence placement (round-3)."""
+    from wfmash_tpu.align.wfa_np import wfa_align
+
+    rng = np.random.default_rng(6)
+    q = random_dna(rng, 400)
+    t = q[:200]                       # old envelope rejected this
+    got = solver_solve_one(q, t)
+    _, ref = wfa_align(q, t, PATCH)
+    assert got == ref
+
+
+def solver_solve_one(q, t):
+    solver = SegmentSolver(PATCH, interpret=True)
+    return solver.solve([(q, t)])[0]
 
 
 def test_seg_score_cap_flags_failure():
@@ -132,3 +150,83 @@ def test_tiered_solver_bit_identical():
     for (q, t), ops in zip(jobs, got):
         _, ref = wfa_align(q, t, PATCH)
         assert ops == ref, (len(q), len(t))
+
+
+# ---------------------------------------------------------------------------
+# Round-3: ends-free support (boundary patches, structural gaps) and the
+# deep tier — all bit-identical to the wfa_np spec.
+# ---------------------------------------------------------------------------
+
+def _check_ef(jobs, p, solver):
+    got = solver.solve(jobs)
+    for (q, t, ef), ops in zip(jobs, got):
+        s_ref, ops_ref = wfa_align(q, t, p, ef)
+        assert ops is not None, (len(q), len(t), ef, s_ref)
+        assert ops == ops_ref, (len(q), len(t), ef, ops[:5], ops_ref[:5])
+
+
+def test_seg_ends_free_patches_bit_identical():
+    """Head/tail boundary-patch jobs (free begin / free end on both
+    sequences, wflign.cpp:240-418 shapes)."""
+    from wfmash_tpu.align.wfa_np import EndsFree
+    from util import mutate
+
+    rng = np.random.default_rng(10)
+    solver = SegmentSolver(PATCH, interpret=True)
+    jobs = []
+    for i in range(6):
+        n = int(rng.integers(60, 110))
+        t = random_dna(rng, n)
+        q = mutate(rng, t, 0.06)
+        m = len(q)
+        if i % 2 == 0:
+            jobs.append((q, t, EndsFree(target_begin=n, query_begin=m)))
+        else:
+            jobs.append((q, t, EndsFree(target_end=n, query_end=m)))
+    _check_ef(jobs, PATCH, solver)
+
+
+def test_seg_ends_free_structural_gaps_bit_identical():
+    """Skewed pieces with the longer side free at both ends (the
+    segmented engine's structural-gap treatment), both orientations."""
+    from wfmash_tpu.align.wfa_np import EndsFree
+    from util import mutate
+
+    rng = np.random.default_rng(11)
+    solver = SegmentSolver(PATCH, interpret=True, PB=16, K=512,
+                           smax=320, lseg=2048, groups=2)
+    jobs = []
+    q0 = random_dna(rng, 700)
+    t0 = random_dna(rng, 180) + mutate(rng, q0, 0.03) + random_dna(rng, 180)
+    jobs.append((q0, t0, EndsFree(target_begin=360, target_end=360)))
+    t1 = random_dna(rng, 600)
+    q1 = random_dna(rng, 140) + mutate(rng, t1, 0.03) + random_dna(rng, 140)
+    jobs.append((q1, t1, EndsFree(query_begin=280, query_end=280)))
+    _check_ef(jobs, PATCH, solver)
+
+
+def test_seg_deep_tier_midsize_bit_identical():
+    """~1.2 kb end-to-end problems on the K=512 tier-3 envelope."""
+    from util import mutate
+
+    rng = np.random.default_rng(12)
+    solver = SegmentSolver(PATCH, interpret=True, PB=16, K=512,
+                           smax=320, lseg=2048, groups=2)
+    t = random_dna(rng, 1200)
+    q = mutate(rng, t, 0.04)
+    _check([(q, t)], PATCH, solver)
+
+
+def test_tiered_cascade_on_failure():
+    """A job that exceeds tier-1's score cap must cascade to a deeper
+    tier inside TieredSegmentSolver and come back exact."""
+    from wfmash_tpu.align.wfa_pallas_seg import TieredSegmentSolver
+    from util import mutate
+
+    rng = np.random.default_rng(13)
+    solver = TieredSegmentSolver(PATCH, interpret=True)
+    t = random_dna(rng, 400)
+    q = mutate(rng, t, 0.18)          # score ~> 128: beyond tier 1
+    got = solver.solve([(q, t)])[0]
+    _, ref = wfa_align(q, t, PATCH)
+    assert got == ref

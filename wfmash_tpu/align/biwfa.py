@@ -127,15 +127,76 @@ def finish_record_host(job, ops, penalties, disable_chain_patching=False):
                          disable_chain_patching)
 
 
+def patch_boundaries_batched(items: list, engine) -> list:
+    """items: [(ops, query, target)] -> list of patched ops.
+
+    Replicates patch_boundaries record-for-record (head patch first,
+    tail erode computed on the head-merged CIGAR, wflign.cpp:240-418)
+    but batches the ends-free re-alignments across ALL records into two
+    engine.align_batch calls, so they run on the device segment kernel
+    instead of one host WFA per record (round-2's patch long tail)."""
+    out = [ops for ops, _, _ in items]
+    head_jobs, head_meta = [], []
+    for i, (ops, q, t) in enumerate(items):
+        q_er, t_er, erode_ops = C.erode_head(
+            ops, MIN_PATCH_LENGTH, MAX_ERODE_LENGTH, MIN_CONSECUTIVE_MATCHES
+        )
+        if q_er > 3 or t_er > 3:
+            head_jobs.append((q[:q_er], t[:t_er],
+                              EndsFree(target_begin=t_er, query_begin=q_er)))
+            head_meta.append((i, erode_ops))
+    if head_jobs:
+        got = engine.align_batch(head_jobs)
+        for (i, erode_ops), hops in zip(head_meta, got):
+            if hops is not None:
+                hops = C.erode_short_matches(hops, 3, is_head=True)
+                out[i] = C.merge_adjacent(hops, out[i][erode_ops:])
+    tail_jobs, tail_meta = [], []
+    for i, (_, q, t) in enumerate(items):
+        q_er, t_er, erode_start = C.erode_tail(
+            out[i], MIN_PATCH_LENGTH, MAX_ERODE_LENGTH,
+            MIN_CONSECUTIVE_MATCHES
+        )
+        if q_er > 3 or t_er > 3:
+            tail_jobs.append((q[len(q) - q_er:], t[len(t) - t_er:],
+                              EndsFree(target_end=t_er, query_end=q_er)))
+            tail_meta.append((i, erode_start))
+    if tail_jobs:
+        got = engine.align_batch(tail_jobs)
+        for (i, erode_start), tops in zip(tail_meta, got):
+            if tops is not None:
+                tops = C.erode_short_matches(tops, 3, is_head=False)
+                out[i] = C.merge_adjacent(out[i][:erode_start], tops)
+    return out
+
+
 def align_records_batched(jobs: list, engine, disable_chain_patching=False):
-    """Phase-structured batch: all main end-to-end alignments go through the
-    (device) engine as one batch; boundary patches/swizzles follow per
-    record. Returns a list of ops (None for failed records)."""
+    """Phase-structured batch: all main end-to-end alignments go through
+    the (device) engine as one batch, then all boundary patches as two
+    more batches, then swizzles per record. Returns a list of ops (None
+    for failed records)."""
     mains = engine.align_batch([(j.query, j.target, None) for j in jobs])
-    return [
-        finish_record(job, ops, engine, disable_chain_patching)
-        for job, ops in zip(jobs, mains)
-    ]
+    return finish_records_batched(jobs, mains, engine,
+                                  disable_chain_patching)
+
+
+def finish_records_batched(jobs: list, mains: list, engine,
+                           disable_chain_patching=False):
+    """Batched patch + swizzle for records whose mains are computed."""
+    keep = [i for i, ops in enumerate(mains) if ops is not None]
+    out: list = [None] * len(jobs)
+    if not disable_chain_patching:
+        patched = patch_boundaries_batched(
+            [(mains[i], jobs[i].query, jobs[i].target) for i in keep],
+            engine)
+    else:
+        patched = [mains[i] for i in keep]
+    for i, ops in zip(keep, patched):
+        job = jobs[i]
+        ops = C.try_swap_start_pattern(ops, job.query, job.target, 0, 0)
+        ops = C.try_swap_end_pattern(ops, job.query, job.target, 0, 0)
+        out[i] = ops
+    return out
 
 
 def float2phred(prob: float) -> float:

@@ -237,33 +237,14 @@ def run_alignment(params: AlignParams, out) -> None:
         if hasattr(engine, "inversions"):
             engine.inversions = []
         try:
-            if params.threads > 1 and len(chunk) >= 8:
-                # device mains in one batch, then the host-side
-                # erode/patch/swizzle phase across a fork pool (children
-                # run pure-numpy WFA only; the reference uses taskflow
-                # workers here, computeAlignments.hpp:398-435)
-                from .biwfa import finish_record_host
-
-                mains = engine.align_batch(
-                    [(j.query, j.target, None) for j in chunk])
-                from ..utils.hostpool import get_pool
-
-                penalties = (getattr(engine, "p", None)
-                             or getattr(engine, "penalties", None))
-                pool = get_pool(params.threads)
-                if pool is None:
-                    raise RuntimeError("host pool unavailable")
-                ops_list = pool.starmap(
-                    finish_record_host,
-                    [(job, ops, penalties,
-                      params.disable_chain_patching)
-                     for job, ops in zip(chunk, mains)],
-                    chunksize=max(1, len(chunk) //
-                                  (4 * params.threads)))
-            else:
-                ops_list = align_records_batched(
-                    chunk, engine, params.disable_chain_patching
-                )
+            # mains as one device batch, boundary patches as two more
+            # device batches (biwfa.patch_boundaries_batched) — the
+            # round-2 fork-pool-per-record patch phase kept the device
+            # idle; host work is now just erode/splice/swizzle (the
+            # engine itself fork-pools any leftover host WFA leaves)
+            ops_list = align_records_batched(
+                chunk, engine, params.disable_chain_patching
+            )
         except Exception as e:
             log(f"[wfmash::align] Batch error, falling back per-record: {e}")
             ops_list = []

@@ -292,8 +292,9 @@ class SegmentedEngine:
 
         n = len(jobs)
         plans: list = [None] * n      # per job: list of piece descriptors
-        exact_jobs: list = []         # (job_index, piece_index, q, t)
-        seg_jobs: list = []           # (job_index, piece_index, q, t)
+        exact_jobs: list = []         # (job_index, piece_index, q, t, ef)
+        seg_jobs: list = []           # (job_index, piece_index, q, t, ef)
+        whole: set = set()            # ji whose piece 0 IS the whole job
         bounds_of: dict = {}          # ji -> (bounds_q, bounds_t)
         # NOTE: self.inversions accumulates (the driver clears it before
         # each record batch and drains it after — patch-stage align()
@@ -306,13 +307,22 @@ class SegmentedEngine:
             q, t = bytes(q), bytes(t)
             if (ef is not None or len(q) < self.min_block
                     or len(t) < self.min_block):
+                # small blocks and explicit ends-free jobs (boundary
+                # patches) go to the device solver directly when they
+                # fit its envelope — round-2 sent ALL of these to host
                 plans[ji] = None
-                exact_jobs.append((ji, 0, q, t, ef))
-                self.stats["exact_blocks"] += 1
+                whole.add(ji)
+                if q and t and self.solver.accepts(len(q), len(t), ef):
+                    seg_jobs.append((ji, 0, q, t, ef))
+                else:
+                    exact_jobs.append((ji, 0, q, t, ef))
+                    self.stats["exact_blocks"] += 1
             else:
                 todo.append((ji, q, t))
-        plan_args = [(q, t, self.seg_target, self.solver.lseg,
-                      self.solver.K) for _, q, t in todo]
+        # plan against the CHEAP tier's envelope (512/256): re-anchoring
+        # an oversize span into ~256 bp tier-1 segments beats solving it
+        # whole on the deep tier; only unanchorable spans should reach t3
+        plan_args = [(q, t, self.seg_target, 512, 256) for _, q, t in todo]
         planned = None
         if self.threads > 1 and len(todo) >= 32:
             from ..utils.hostpool import get_pool
@@ -339,7 +349,7 @@ class SegmentedEngine:
                 st = t[bounds_t[pi]:bounds_t[pi + 1]]
                 pieces.append(None)
                 if self.solver.accepts(len(sq), len(st)) or not sq or not st:
-                    seg_jobs.append((ji, pi, sq, st))
+                    seg_jobs.append((ji, pi, sq, st, None))
                 else:
                     # a piece with a multi-hundred-bp length skew is a
                     # structural gap: end-to-end WFA would pay O(skew)
@@ -358,17 +368,24 @@ class SegmentedEngine:
                         else:
                             ef = EndsFree(target_begin=-skew,
                                           target_end=-skew)
-                    exact_jobs.append((ji, pi, sq, st, ef))
+                    if ef is not None and self.solver.accepts(
+                            len(sq), len(st), ef):
+                        seg_jobs.append((ji, pi, sq, st, ef))
+                    else:
+                        exact_jobs.append((ji, pi, sq, st, ef))
             plans[ji] = pieces
 
         # device lockstep pass over every segment of every block
         self.stats["segments"] += len(seg_jobs)
-        seg_ops = self.solver.solve([(sq, st) for _, _, sq, st in seg_jobs])
+        seg_ops = self.solver.solve(
+            [(sq, st, ef) for _, _, sq, st, ef in seg_jobs])
         escal_jobs = []
-        for (ji, pi, sq, st), ops in zip(seg_jobs, seg_ops):
+        for (ji, pi, sq, st, ef), ops in zip(seg_jobs, seg_ops):
             if ops is None:
-                escal_jobs.append((ji, pi, sq, st, None))
+                escal_jobs.append((ji, pi, sq, st, ef))
                 self.stats["escalated"] += 1
+            elif plans[ji] is None:
+                plans[ji] = [ops]              # whole-block device result
             else:
                 plans[ji][pi] = ops
 
@@ -401,7 +418,7 @@ class SegmentedEngine:
         if self.detect_inversions:
             self._detect_inversions(
                 plans, bounds_of,
-                escal_jobs + [e for e in exact_jobs if e[0] in bounds_of])
+                [e for e in escal_jobs + exact_jobs if e[0] in bounds_of])
         if n >= 16:
             import sys
 

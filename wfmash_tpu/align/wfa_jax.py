@@ -625,10 +625,11 @@ class JaxWfaEngine:
         seg = self._get_seg_solver() if allow_seg else None
         if seg is not None:
             elig = [k for k, (_, _, q, t, ef) in enumerate(deferred)
-                    if ef is None and seg.accepts(len(q), len(t))]
+                    if q and t and seg.accepts(len(q), len(t), ef)]
             if len(elig) >= self.seg_min_batch:
                 got = seg.solve(
-                    [(deferred[k][2], deferred[k][3]) for k in elig])
+                    [(deferred[k][2], deferred[k][3], deferred[k][4])
+                     for k in elig])
                 for k, ops in zip(elig, got):
                     if ops is not None:
                         i, order, _, _, _ = deferred[k]
@@ -785,7 +786,13 @@ class JaxWfaEngine:
                 f_ph[solved] = ph[solved]
                 finished |= solved
                 margin = (Kp - 1) // 2 - adiff
-                certified = s.astype(np.int64) < 2 * e_min * margin
+                # escaping the band = one I run + one D run of >= margin
+                # each (out and back), so 2*gap_cost(margin) bounds it
+                gc = np.minimum(
+                    self.p.gap_opening1 + margin * self.p.gap_extension1,
+                    self.p.gap_opening2 + margin * self.p.gap_extension2)
+                gc = np.where(margin > 0, gc, 0)
+                certified = s.astype(np.int64) < 2 * gc
                 retry = solved & np.asarray(clip) & ~certified
                 if not retry.any():
                     break
