@@ -138,3 +138,84 @@ def test_sharded_pipeline_paf_byte_identical(tmp_path, monkeypatch):
     assert host, "empty mapping output"
     assert mesh == host
     assert single == host
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_device_pipeline_threads_byte_identical(tmp_path, monkeypatch):
+    """The phase-structured device mapping driver (sketch fork pool ->
+    batched device L1 in the parent -> L2/filter fork pool) must write
+    the same PAF as the single-threaded host path."""
+    import io
+
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(31)
+    t1 = random_dna(rng, 30_000)
+    seqs_t = {"tA#1#c": t1}
+    seqs_q = {f"q{i}#1#c": mutate(rng, t1[i * 2_000:i * 2_000 + 12_000],
+                                  0.04)
+              for i in range(4)}
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, seqs_t)
+    write_fasta(qfa, seqs_q)
+
+    def run(env_val, threads):
+        monkeypatch.setenv("WFMASH_TPU_DEVICE_L1", env_val)
+        params = MapParams(
+            ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+            percentage_identity=0.9, auto_pct_identity=False,
+            threads=threads,
+        ).finalize()
+        out = io.StringIO()
+        run_mapping(params, out)
+        return out.getvalue()
+
+    host = run("0", 1)
+    assert host
+    assert run("1", 4) == host      # device L1 + fork pools
+    assert run("1", 1) == host      # device L1, serial phases
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_align_paf_byte_identical(tmp_path, monkeypatch):
+    """Alignment with segment-kernel batches sharded over the 8-device
+    mesh must write a PAF byte-identical to the single-device path
+    (VERDICT round-2 #4)."""
+    import io
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(37)
+    t1 = random_dna(rng, 20_000)
+    t2 = random_dna(rng, 14_000)
+    q1 = mutate(rng, t1, 0.01)
+    q2 = mutate(rng, t2, 0.04)
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"tA#1#c": t1, "tB#1#c": t2})
+    write_fasta(qfa, {"qA#1#c": q1, "qB#1#c": q2})
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.9, auto_pct_identity=False,
+                   threads=1).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    mpaf = tmp_path / "m.paf"
+    mpaf.write_text(buf.getvalue())
+
+    def run(mesh_mode):
+        monkeypatch.setenv("WFMASH_TPU_ALIGN_MESH", mesh_mode)
+        monkeypatch.setenv("WFMASH_TPU_WFA_ENGINE", "auto")
+        ap = AlignParams(ref_sequences=[str(tfa)],
+                         query_sequences=[str(qfa)],
+                         mashmap_paf_file=str(mpaf))
+        out = io.StringIO()
+        run_alignment(ap, out)
+        return out.getvalue()
+
+    single = run("0")
+    assert single
+    assert run("force") == single

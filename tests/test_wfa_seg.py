@@ -230,3 +230,27 @@ def test_tiered_cascade_on_failure():
     got = solver.solve([(q, t)])[0]
     _, ref = wfa_align(q, t, PATCH)
     assert got == ref
+
+
+def test_seg_truncated_hull_certificates():
+    """Boundary-patch jobs whose seed hull exceeds the band must still
+    solve when the score certifies the anchor margin — and must REJECT
+    when it does not (sound truncation, round-3)."""
+    from wfmash_tpu.align.wfa_np import EndsFree
+    from util import mutate
+
+    rng = np.random.default_rng(14)
+    solver = SegmentSolver(PATCH, interpret=True, PB=16, K=512,
+                           smax=320, lseg=2048, groups=2)
+    # low-divergence big-erode head patch: hull 2300 wide, score < cert
+    t0 = random_dna(rng, 1100)
+    q0 = (mutate(rng, t0, 0.03) + random_dna(rng, 100))[:1200]
+    ef0 = EndsFree(target_begin=1100, query_begin=1200)
+    got = solver.solve([(q0, t0, ef0)])[0]
+    _, ref = wfa_align(q0, t0, PATCH, ef0)
+    assert got == ref
+    # very divergent same-shape patch: must reject (score >= cert bound)
+    t2 = random_dna(rng, 900)
+    q2 = mutate(rng, t2, 0.30)
+    ef2 = EndsFree(target_begin=900, query_begin=900)
+    assert solver.solve([(q2, t2, ef2)])[0] is None

@@ -183,14 +183,20 @@ def align_records_batched(jobs: list, engine, disable_chain_patching=False):
 def finish_records_batched(jobs: list, mains: list, engine,
                            disable_chain_patching=False):
     """Batched patch + swizzle for records whose mains are computed."""
+    import time as _time
+
+    from ..utils import perf
+
     keep = [i for i, ops in enumerate(mains) if ops is not None]
     out: list = [None] * len(jobs)
+    _t0 = _time.monotonic()
     if not disable_chain_patching:
         patched = patch_boundaries_batched(
             [(mains[i], jobs[i].query, jobs[i].target) for i in keep],
             engine)
     else:
         patched = [mains[i] for i in keep]
+    perf.add("align.patch_s", _time.monotonic() - _t0)
     for i, ops in zip(keep, patched):
         job = jobs[i]
         ops = C.try_swap_start_pattern(ops, job.query, job.target, 0, 0)

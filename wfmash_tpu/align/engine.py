@@ -176,9 +176,24 @@ def make_engine(params: AlignParams):
         import jax
 
         from .segmented import SegmentedEngine
+        from .wfa_pallas_seg import TieredSegmentSolver
 
         interp = jax.devices()[0].platform == "cpu"
-        seng = SegmentedEngine(penalties, engine, interpret=interp)
+        # WFMASH_TPU_ALIGN_MESH: shard segment-kernel batches over all
+        # devices ("auto" = when >1 accelerator device; "force" = also
+        # on the virtual CPU mesh, used by tests/dryrun; "0" = off)
+        mesh = None
+        mm = os.environ.get("WFMASH_TPU_ALIGN_MESH", "auto")
+        n_dev = len(jax.devices())
+        if mm != "0" and n_dev > 1 and (mm == "force" or not interp):
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+        solver = TieredSegmentSolver(penalties, interpret=interp,
+                                     mesh=mesh)
+        seng = SegmentedEngine(penalties, engine, interpret=interp,
+                               solver=solver)
         if getattr(params, "strict_parity", False):
             seng.detect_inversions = False
         return seng

@@ -245,6 +245,14 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     return rq, rt
 
 
+def _rev_try_host(rq, st, p, budget):
+    """Fork-pool worker: score-bounded rev-comp try (pure numpy)."""
+    from .wfa_vec import wfa_align as host_wfa
+
+    _, rops = host_wfa(rq, st, p, max_score=budget)
+    return rops
+
+
 class SegmentedEngine:
     """Engine wrapper: large blocks go anchored+segmented, everything
     else (small blocks, ends-free patch jobs, escalations) delegates to
@@ -288,8 +296,12 @@ class SegmentedEngine:
         return self.align_batch([(query, target, ends_free)])[0]
 
     def align_batch(self, jobs):
+        import time as _time
+
+        from ..utils import perf
         from .cigar import merge_adjacent
 
+        _t0 = _time.monotonic()
         n = len(jobs)
         plans: list = [None] * n      # per job: list of piece descriptors
         exact_jobs: list = []         # (job_index, piece_index, q, t, ef)
@@ -334,6 +346,7 @@ class SegmentedEngine:
                     chunksize=max(1, len(todo) // (4 * self.threads)))
         if planned is None:
             planned = [_plan_bounds(*a) for a in plan_args]
+        perf.add("align.plan_s", _time.monotonic() - _t0)
 
         for (ji, q, t), bounds in zip(todo, planned):
             if bounds is None:
@@ -377,8 +390,10 @@ class SegmentedEngine:
 
         # device lockstep pass over every segment of every block
         self.stats["segments"] += len(seg_jobs)
+        _t1 = _time.monotonic()
         seg_ops = self.solver.solve(
             [(sq, st, ef) for _, _, sq, st, ef in seg_jobs])
+        perf.add("align.seg_solve_s", _time.monotonic() - _t1)
         escal_jobs = []
         for (ji, pi, sq, st, ef), ops in zip(seg_jobs, seg_ops):
             if ops is None:
@@ -409,16 +424,40 @@ class SegmentedEngine:
                 else:
                     plans[ji][pi] = ops
 
+        _t2 = _time.monotonic()
         run_exact(exact_jobs, True)
         run_exact(escal_jobs, False)
+        perf.add("align.exact_s", _time.monotonic() - _t2)
+        _t3 = _time.monotonic()
         # patch-region inversion try (wflign_patch.cpp:405-538): every
         # divergent piece — escalated segments and oversize inter-anchor
         # gaps — gets a reverse-complement attempt with a 0.9x score
         # budget; completions are recorded for extra iv:Z:true PAF rows
         if self.detect_inversions:
+            # candidate pieces for the rev-comp try: anything DIVERGENT —
+            # forward score >= 25% of a per-base mismatch bill (an
+            # inverted region scores ~75% mismatches forward). Score-
+            # based, not routing-based: round-3's deeper tiers solve many
+            # divergent pieces forward on device, so "escalated" alone
+            # no longer identifies them (round-2 behavior preserved).
+            from .wfa_np import score_cigar as _sc
+
+            div_cands = list(escal_jobs)
+            seen = {(e[0], e[1]) for e in escal_jobs}
+            for (ji, pi, sq, st, ef) in (seg_jobs + exact_jobs):
+                if (ji, pi) in seen or ji not in bounds_of or ef is not None:
+                    continue
+                pieces = plans[ji]
+                ops = pieces[pi] if pieces is not None else None
+                if ops is None:
+                    continue
+                bill = self.p.mismatch * min(len(sq), len(st))
+                if 4 * _sc(ops, self.p) >= bill:
+                    div_cands.append((ji, pi, sq, st, ef))
             self._detect_inversions(
                 plans, bounds_of,
-                [e for e in escal_jobs + exact_jobs if e[0] in bounds_of])
+                [e for e in div_cands if e[0] in bounds_of])
+        perf.add("align.inversion_s", _time.monotonic() - _t3)
         if n >= 16:
             import sys
 
@@ -448,7 +487,6 @@ class SegmentedEngine:
 
         from ..sketch.kmers import reverse_complement
         from .wfa_np import score_cigar
-        from .wfa_vec import wfa_align as host_wfa
 
         mil = self.min_inversion_length
         cands = []
@@ -462,14 +500,32 @@ class SegmentedEngine:
         rev_jobs = [(bytes(reverse_complement(bytearray(sq))), st)
                     for _, _, sq, st in cands]
         rev_got = self.solver.solve(rev_jobs)
-        for (ji, pi, sq, st), (rq, _), rops in zip(cands, rev_jobs,
-                                                   rev_got):
-            fwd_score = score_cigar(plans[ji][pi], self.p)
-            budget = int(math.ceil(fwd_score * 0.9))
+        budgets = [int(math.ceil(
+            score_cigar(plans[ji][pi], self.p) * 0.9))
+            for (ji, pi, _, _) in cands]
+        # kernel rejects (score cap / uncertified band) retry on host
+        # with the score budget — fork-pooled: these are the divergent
+        # pieces, and a serial loop here was a parent-process stall
+        fb = [k for k, rops in enumerate(rev_got) if rops is None]
+        if fb:
+            fb_args = [(rev_jobs[k][0], rev_jobs[k][1], self.p,
+                        budgets[k]) for k in fb]
+            got = None
+            if self.threads > 1 and len(fb) >= 8:
+                from ..utils.hostpool import get_pool
+
+                pool = get_pool(self.threads)
+                if pool is not None:
+                    got = pool.starmap(
+                        _rev_try_host, fb_args,
+                        chunksize=max(1, len(fb) // (4 * self.threads)))
+            if got is None:
+                got = [_rev_try_host(*a) for a in fb_args]
+            for k, rops in zip(fb, got):
+                rev_got[k] = rops
+        for (ji, pi, sq, st), rops, budget in zip(cands, rev_got, budgets):
             if rops is None:
-                _, rops = host_wfa(rq, st, self.p, max_score=budget)
-                if rops is None:
-                    continue
+                continue
             if score_cigar(rops, self.p) > budget:
                 continue
             bq, bt = bounds_of[ji]

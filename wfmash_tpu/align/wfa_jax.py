@@ -636,6 +636,12 @@ class JaxWfaEngine:
                         results[i][order] = ops
                         solved[k] = True
         rest = [k for k in range(len(deferred)) if not solved[k]]
+        import time as _time
+
+        from ..utils import perf
+
+        _t0 = _time.monotonic()
+        n_rest = len(rest)
         if self.threads > 1 and len(rest) >= 8:
             from ..utils.hostpool import get_pool
 
@@ -654,6 +660,8 @@ class JaxWfaEngine:
             i, order, q, t, ef = deferred[k]
             _, ops = wfa_align(q, t, self.p, ef)
             results[i][order] = ops
+        perf.add("align.host_leaf_s", _time.monotonic() - _t0)
+        perf.add("align.host_leaves", n_rest)
 
         out = []
         for i in range(len(jobs)):

@@ -429,11 +429,10 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
     return kernel
 
 
-@partial(jax.jit,
-         static_argnames=("penalties", "PB", "K", "smax", "maxr",
-                          "interpret"))
-def _run_seg(qarr, tarr, par, *, penalties, PB, K, smax, maxr, interpret):
-    """(G*PB, L) u8 sequences + (G, PB, 128) params -> (runs, term)."""
+def _run_seg_impl(qarr, tarr, par, *, penalties, PB, K, smax, maxr,
+                  interpret):
+    """(G*PB, L) u8 sequences + (G, PB, 128) params -> (runs, term).
+    Traceable body (jitted directly, or per-device inside shard_map)."""
     B, L = qarr.shape
     G = B // PB
     eqw = L // 32
@@ -472,6 +471,34 @@ def _run_seg(qarr, tarr, par, *, penalties, PB, K, smax, maxr, interpret):
     )(par, eq)
 
 
+_run_seg = partial(jax.jit, static_argnames=(
+    "penalties", "PB", "K", "smax", "maxr", "interpret"))(_run_seg_impl)
+
+
+@partial(jax.jit, static_argnames=("mesh", "penalties", "PB", "K", "smax",
+                                   "maxr", "interpret"))
+def _run_seg_sharded(qarr, tarr, par, *, mesh, penalties, PB, K, smax,
+                     maxr, interpret):
+    """Segment-kernel batch sharded over the mesh: the grid (group) axis
+    splits across devices — the record-parallel align loop of the
+    reference (computeAlignments.hpp:391-438) as spatial parallelism.
+    No cross-device communication: results concatenate deterministically,
+    so the merged PAF is byte-identical to single-device."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(mesh.axis_names[0])
+
+    def local(qarr, tarr, par):
+        return _run_seg_impl(qarr, tarr, par, penalties=penalties, PB=PB,
+                             K=K, smax=smax, maxr=maxr,
+                             interpret=interpret)
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=(spec, spec), check_rep=False)(
+        qarr, tarr, par)
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
@@ -506,7 +533,7 @@ class SegmentSolver:
 
     def __init__(self, penalties: Penalties, interpret: bool = False,
                  PB: int = 16, K: int = 256, smax: int = 256,
-                 lseg: int = 512, groups: int = 64):
+                 lseg: int = 512, groups: int = 64, mesh=None):
         self.p = penalties
         self.interpret = interpret
         self.PB = PB
@@ -517,13 +544,37 @@ class SegmentSolver:
         self.groups = groups
         self.max_call = groups * PB
         self.e_min = min(penalties.gap_extension1, penalties.gap_extension2)
+        # optional jax.sharding.Mesh: the grid axis shards across its
+        # first axis (groups must divide evenly; see _run_seg_sharded)
+        self.mesh = None
+        if mesh is not None:
+            n_dev = int(mesh.shape[mesh.axis_names[0]])
+            if n_dev > 1 and groups % n_dev == 0:
+                self.mesh = mesh
 
     def _envelope(self, m: int, n: int, ef):
-        """Fit check. Returns (S, P, tb, qb, te, qe, cert_margin) or
-        None. The diagonal interest range [lo, hi] covers every seed and
-        accepting diagonal (wfa_np:140-159); the band must cover it with
-        _BAND_MARGIN lanes to spare, and the placed sequences must fit
-        the padded row length."""
+        """Fit check. Returns (S, P, tb, qb, te, qe, cert_bound,
+        always_cert) or None.
+
+        Seed hull = score-0 diagonals [-tb, qb]; accept hull = accepting
+        diagonals [m-n-qe, m-n+te] (wfa_np:140-159). The band need NOT
+        cover both: diagonals change only via I/D ops, so
+
+        * both hulls in band with margin M      -> any out-of-band path
+          leaves AND returns: cost >= 2*gap_cost(M); certificate gated
+          on the kernel's band-edge contact flag;
+        * one hull truncated, the other (the ANCHOR) in band with
+          margin M -> every path starts (seeds) or ends (accepts) in
+          the anchor hull, so touching an out-of-band diagonal costs
+          >= gap_cost(M); certificate applied UNCONDITIONALLY (an
+          out-of-band seed/accept path never shows edge contact);
+        * both hulls truncated -> reject (an out-of-band seed can pair
+          with an out-of-band accept invisibly, e.g. wide structural
+          gaps — no sound certificate).
+
+        This is what lets arbitrarily-wide boundary-patch jobs (free
+        begin spans = whole piece) run on device: the accept hull is a
+        corner diagonal, the giant seed hull is truncated soundly."""
         if ef is None:
             tb = qb = te = qe = 0
         else:
@@ -531,18 +582,39 @@ class SegmentSolver:
             qb = min(ef.query_begin, m)
             te = ef.target_end
             qe = ef.query_end
-        lo = min(-tb, m - n - qe)
-        hi = max(qb, m - n + te)
-        if hi - lo >= self.K - 2 * _BAND_MARGIN:
+        C = self.K // 2
+        M = _BAND_MARGIN
+        s_lo, s_hi = -tb, qb
+        a_lo, a_hi = m - n - qe, m - n + te
+        lo, hi = min(s_lo, a_lo), max(s_hi, a_hi)
+        seeds_fit = s_hi - s_lo < self.K - 2 * M
+        accepts_fit = a_hi - a_lo < self.K - 2 * M
+        if hi - lo < self.K - 2 * M:
+            # combined hull fits: classic out-and-back certificate
+            cc = (lo + hi) // 2
+            margin = C - max(hi - cc, cc - lo)
+            cert_bound = 2 * self.p.gap_cost(margin)
+            always = False
+        elif accepts_fit:
+            # seeds truncated; anchor = accept hull, centered exactly
+            # (max margin -> max certificate; in-band seeds near the
+            # anchor are the ones real patch paths start from)
+            cc = (a_lo + a_hi) // 2
+            margin = C - max(a_hi - cc, cc - a_lo)
+            cert_bound = self.p.gap_cost(margin)
+            always = True
+        elif seeds_fit:
+            # accepts truncated; anchor = seed hull
+            cc = (s_lo + s_hi) // 2
+            margin = C - max(s_hi - cc, cc - s_lo)
+            cert_bound = self.p.gap_cost(margin)
+            always = True
+        else:
             return None
-        cc = (lo + hi) // 2
-        # kernel true-diagonal = kernel k - (S - P); centering the band
-        # (kernel k = 0) on hull center cc therefore needs S - P = -cc
         S, P = max(0, -cc), max(0, cc)
         if S + m >= self.lseg or P + n >= self.lseg:
             return None
-        cert = self.K // 2 - max(hi - cc, cc - lo)
-        return (S, P, tb, qb, te, qe, cert)
+        return (S, P, tb, qb, te, qe, cert_bound, always)
 
     def accepts(self, qlen: int, tlen: int, ends_free=None) -> bool:
         return self._envelope(qlen, tlen, ends_free) is not None
@@ -588,11 +660,12 @@ class SegmentSolver:
         qarr = np.full((B, L), 0x01, np.uint8)
         tarr = np.full((B, L), 0x02, np.uint8)
         par = np.zeros((B, 128), np.int32)
-        cert_m = np.zeros(B, np.int64)
+        cert_b = np.zeros(B, np.int64)
+        cert_always = np.zeros(B, bool)
         for j, i in enumerate(idxs):
             q, t, ef = _job_parts(jobs[i])
             m, n = len(q), len(t)
-            S, P, tb, qb, te, qe, cert = self._envelope(m, n, ef)
+            S, P, tb, qb, te, qe, cbound, calways = self._envelope(m, n, ef)
             qarr[j, S:S + m] = np.frombuffer(bytes(q), np.uint8)
             tarr[j, P:P + n] = np.frombuffer(bytes(t), np.uint8)
             par[j, 0] = S + m
@@ -603,9 +676,12 @@ class SegmentSolver:
             par[j, 5] = qb
             par[j, 6] = te
             par[j, 7] = qe
-            cert_m[j] = cert
+            cert_b[j] = cbound
+            cert_always[j] = calways
         t0 = time.monotonic()
-        runs, term = _run_seg(
+        run_fn = _run_seg if self.mesh is None else partial(
+            _run_seg_sharded, mesh=self.mesh)
+        runs, term = run_fn(
             jnp.asarray(qarr), jnp.asarray(tarr),
             jnp.asarray(par.reshape(G, PB, 128)),
             penalties=self.p, PB=PB, K=K, smax=self.smax, maxr=self.maxr,
@@ -618,14 +694,12 @@ class SegmentSolver:
             if not term[j, 0] or not term[j, 5]:
                 continue                       # fail / bad backtrace
             score = int(term[j, 1])
-            if term[j, 3]:
-                # band-edge contact: only accept if the score certifies
-                # the band. Any path using an out-of-band diagonal must
-                # leave the seed/accept hull by >= margin diagonals and
-                # return, i.e. one I run and one D run of >= margin each:
-                # cost >= 2 * gap_cost(margin). A banded score strictly
-                # below that is globally optimal.
-                if score >= 2 * self.p.gap_cost(int(cert_m[j])):
+            if term[j, 3] or cert_always[j]:
+                # the certificate bound (see _envelope): a banded score
+                # strictly below it proves no out-of-band path can win.
+                # Checked on band-edge contact, or unconditionally when
+                # the seed/accept hull was truncated to fit the band.
+                if score >= int(cert_b[j]):
                     continue
             c = int(term[j, 4])
             vals = runs[j, c + 1:self.maxr]
@@ -651,14 +725,15 @@ class TieredSegmentSolver:
     caller's exact-engine escalation.
     """
 
-    def __init__(self, penalties: Penalties, interpret: bool = False):
+    def __init__(self, penalties: Penalties, interpret: bool = False,
+                 mesh=None):
         self.p = penalties
         self.t1 = SegmentSolver(penalties, interpret, PB=64, K=128,
-                                smax=128, lseg=512, groups=64)
+                                smax=128, lseg=512, groups=64, mesh=mesh)
         self.t2 = SegmentSolver(penalties, interpret, PB=16, K=256,
-                                smax=384, lseg=512, groups=64)
+                                smax=384, lseg=512, groups=64, mesh=mesh)
         self.t3 = SegmentSolver(penalties, interpret, PB=16, K=512,
-                                smax=768, lseg=2048, groups=32)
+                                smax=768, lseg=2048, groups=32, mesh=mesh)
         self.tiers = (self.t1, self.t2, self.t3)
         self.lseg = self.t3.lseg
         self.K = self.t3.K

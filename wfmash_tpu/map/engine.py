@@ -104,67 +104,70 @@ class Mapper:
     def seq_len_of(self, seq_id: int) -> int:
         return int(self._len_arr[seq_id])
 
+    def _minimum_hits_for(self, q_len: int, sketch) -> int:
+        p = self.params
+        if q_len == p.window_length:
+            return self.cached_minimum_hits
+        return max(
+            p.minimum_hits,
+            stats.estimate_minimum_hits_relaxed(
+                sketch.sketch_size, p.kmer_size, p.percentage_identity,
+                fixed.confidence_interval,
+            ),
+        )
+
+    def _host_l1(self, sketch, q_len: int, query_seq_id: int,
+                 query_group: int, minimum_hits: int,
+                 index) -> list[L1Candidate]:
+        """Host L1: k-way posting merge + per-target-group two-pass sweep
+        (computeMap.hpp:963-982)."""
+        p = self.params
+        pts = get_seed_interval_points(
+            sketch, index, query_seq_id, query_group, self.group_of, p
+        )
+        l1: list[L1Candidate] = []
+        if len(pts) == 0:
+            return l1
+        groups = self.group_of(pts["seq_id"])
+        i = 0
+        n = len(pts)
+        while i < n:
+            j = i + 1
+            if p.skip_prefix:
+                while j < n and groups[j] == groups[i]:
+                    j += 1
+            else:
+                j = n
+            compute_l1_candidate_regions(
+                sketch.sketch_size, q_len, pts[i:j], minimum_hits, p,
+                self.sketch_cutoffs, l1,
+            )
+            i = j
+        return l1
+
     # -- per-fragment --------------------------------------------------------
     def map_fragment(self, frag_seq, frag_index: int, query_seq_id: int,
-                     query_group: int, index) -> list[tuple]:
-        """Returns raw mapping tuples for one fragment."""
+                     query_group: int, index, l1=None) -> list[tuple]:
+        """Returns raw mapping tuples for one fragment. `l1` supplies
+        precomputed (device-batched) L1 candidates; None = host L1."""
         p = self.params
         q_len = len(frag_seq)
         sketch = sketch_fragment(frag_seq, p.kmer_size, p.sketch_size)
         if sketch.sketch_size == 0 or sketch.kmer_complexity < p.kmer_complexity_threshold:
             return []
-
-        pts = get_seed_interval_points(
-            sketch, index, query_seq_id, query_group, self.group_of, p
-        )
-        if len(pts) == 0:
-            return []
-
-        if q_len == p.window_length:
-            minimum_hits = self.cached_minimum_hits
-        else:
-            minimum_hits = max(
-                p.minimum_hits,
-                stats.estimate_minimum_hits_relaxed(
-                    sketch.sketch_size, p.kmer_size, p.percentage_identity,
-                    fixed.confidence_interval,
-                ),
-            )
-
-        # L1 per target-group subrange (computeMap.hpp:963-982).
-        # device_l1 (map/l1_device.py, injected by the runner) replaces
-        # the host join+sweep with the batched XLA kernel; a None row
-        # (cap overflow / non-default flags) falls back to the host path.
-        l1: list[L1Candidate] = []
-        dev_rows = None
-        if self.device_l1 is not None and q_len == p.window_length:
-            dev_rows = self.device_l1.candidates([dict(
-                hashes=sketch.hashes, n=sketch.sketch_size, q_len=q_len,
-                q_seqid=query_seq_id, q_group=query_group,
-                min_hits=minimum_hits)])[0]
-        if dev_rows is not None:
-            l1 = [L1Candidate(*r) for r in dev_rows]
-        else:
-            groups = self.group_of(pts["seq_id"])
-            i = 0
-            n = len(pts)
-            while i < n:
-                j = i + 1
-                if p.skip_prefix:
-                    while j < n and groups[j] == groups[i]:
-                        j += 1
-                else:
-                    j = n
-                compute_l1_candidate_regions(
-                    sketch.sketch_size, q_len, pts[i:j], minimum_hits, p,
-                    self.sketch_cutoffs, l1,
-                )
-                i = j
+        minimum_hits = self._minimum_hits_for(q_len, sketch)
+        if l1 is None:
+            l1 = self._host_l1(sketch, q_len, query_seq_id, query_group,
+                               minimum_hits, index)
         if not l1:
             return []
+        return self._l2_collect(sketch, q_len, frag_index, l1, index)
 
+    def _l2_collect(self, sketch, q_len: int, frag_index: int,
+                    l1: list[L1Candidate], index) -> list[tuple]:
         # L2 per group run over l1, candidates in intersection-desc order
         # (computeMap.hpp:895-918, 988-1060)
+        p = self.params
         out = []
         b = 0
         nl1 = len(l1)
@@ -230,6 +233,19 @@ class Mapper:
             b = e
         return out
 
+    def _fragments(self, seq: bytes):
+        """(frag_index, frag_seq) pairs: w-length windows + the w-length
+        tail window when the query is not a multiple of w
+        (computeMap.hpp:560-631)."""
+        p = self.params
+        qlen = len(seq)
+        n_frag = qlen // p.window_length
+        out = [(i, seq[i * p.window_length:(i + 1) * p.window_length])
+               for i in range(n_frag)]
+        if n_frag >= 1 and qlen % p.window_length != 0:
+            out.append((n_frag, seq[qlen - p.window_length:]))
+        return out
+
     # -- per-query -----------------------------------------------------------
     def map_query(self, query_name: str, seq: bytes, index) -> QueryResult:
         p = self.params
@@ -238,14 +254,71 @@ class Mapper:
         qlen = len(seq)
 
         raw: list[tuple] = []
-        n_frag = qlen // p.window_length
-        for i in range(n_frag):
-            frag = seq[i * p.window_length : (i + 1) * p.window_length]
-            raw.extend(self.map_fragment(frag, i, seq_id, group, index))
-        if n_frag >= 1 and qlen % p.window_length != 0:
-            frag = seq[qlen - p.window_length :]
-            raw.extend(self.map_fragment(frag, n_frag, seq_id, group, index))
+        frags = self._fragments(seq)
+        if self.device_l1 is not None:
+            # ALL fragments of the query (tail included — it is w bases
+            # long by construction) in ONE batched device L1 call
+            # (VERDICT round-2 #3: the batched kernel must see batches)
+            sketches = []
+            for fi, frag in frags:
+                sk = sketch_fragment(frag, p.kmer_size, p.sketch_size)
+                ok = (sk.sketch_size > 0
+                      and sk.kmer_complexity >= p.kmer_complexity_threshold)
+                sketches.append((fi, frag, sk, ok))
+            elig = [(fi, frag, sk) for fi, frag, sk, ok in sketches if ok]
+            dev_rows = self.device_l1.candidates([dict(
+                hashes=sk.hashes, n=sk.sketch_size, q_len=len(frag),
+                q_seqid=seq_id, q_group=group,
+                min_hits=self._minimum_hits_for(len(frag), sk))
+                for fi, frag, sk in elig]) if elig else []
+            for (fi, frag, sk), rows in zip(elig, dev_rows):
+                if rows is None:
+                    raw.extend(self.map_fragment(frag, fi, seq_id, group,
+                                                 index))
+                else:
+                    l1 = [L1Candidate(*r) for r in rows]
+                    if l1:
+                        raw.extend(self._l2_collect(sk, len(frag), fi, l1,
+                                                    index))
+        else:
+            for fi, frag in frags:
+                raw.extend(self.map_fragment(frag, fi, seq_id, group, index))
 
+        return self.finish_query(query_name, qlen, seq_id, raw)
+
+    def sketch_query(self, seq: bytes):
+        """Phase-1 worker (fork-poolable, pure host): fragment + sketch.
+        Returns [(frag_index, q_len, sketch, ok)]."""
+        p = self.params
+        out = []
+        for fi, frag in self._fragments(seq):
+            sk = sketch_fragment(frag, p.kmer_size, p.sketch_size)
+            ok = (sk.sketch_size > 0
+                  and sk.kmer_complexity >= p.kmer_complexity_threshold)
+            out.append((fi, len(frag), sk, ok))
+        return out
+
+    def map_query_precomputed(self, query_name: str, qlen: int,
+                              entries, index) -> QueryResult:
+        """Phase-3 worker: L2 + filters for a query whose sketches and
+        (device) L1 candidates were computed in earlier phases.
+        entries: [(frag_index, q_len, sketch, l1_rows | None)] — None
+        rows re-run the host L1 (device cap overflow fallback)."""
+        seq_id = self.idm.get_sequence_id(query_name)
+        group = int(self.group_of([seq_id])[0])
+        raw: list[tuple] = []
+        for fi, q_len, sk, rows in entries:
+            if rows is None:
+                l1 = self._host_l1(sk, q_len, seq_id, group,
+                                   self._minimum_hits_for(q_len, sk), index)
+            else:
+                l1 = [L1Candidate(*r) for r in rows]
+            if l1:
+                raw.extend(self._l2_collect(sk, q_len, fi, l1, index))
+        return self.finish_query(query_name, qlen, seq_id, raw)
+
+    def finish_query(self, query_name: str, qlen: int, seq_id: int,
+                     raw: list[tuple]) -> QueryResult:
         mappings = (
             np.array(raw, dtype=MAPPING_DTYPE) if raw else np.empty(0, MAPPING_DTYPE)
         )

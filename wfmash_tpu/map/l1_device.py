@@ -307,25 +307,45 @@ class DeviceL1:
         self.maxc = maxc
         self.params = params
         uh = index.unique_hashes
-        self.uh_hi, self.uh_lo = _split_u64(uh.astype(np.uint64))
-        self.offs = index.endpoint_offsets.astype(np.int32)
+        uh_hi, uh_lo = _split_u64(uh.astype(np.uint64))
         ep = index.endpoints
-        self.ep_pos = ep["pos"].astype(np.int32)
-        self.ep_seq = ep["seq_id"].astype(np.int32)
-        self.ep_side = ep["side"].astype(np.int8)
-        self.group_arr = group_arr.astype(np.int32)
-        self.cutoffs = np.asarray(sketch_cutoffs, np.int32)
+        # device-resident index (uploaded once per target subset; the
+        # reference's posting table equivalent, SURVEY §2.4 TPU plan)
+        self.uh_hi = jnp.asarray(uh_hi)
+        self.uh_lo = jnp.asarray(uh_lo)
+        self.offs = jnp.asarray(index.endpoint_offsets.astype(np.int32))
+        self.ep_pos = jnp.asarray(ep["pos"].astype(np.int32))
+        self.ep_seq = jnp.asarray(ep["seq_id"].astype(np.int32))
+        self.ep_side = jnp.asarray(ep["side"].astype(np.int8))
+        self.group_arr = jnp.asarray(group_arr.astype(np.int32))
+        self.cutoffs = jnp.asarray(np.asarray(sketch_cutoffs, np.int32))
         self.cut_div = np.float32(max(1.0, params.sketch_size / 1000.0))
+
+    # fixed call shapes: fragments are processed in chunks of BATCH rows
+    # with the sketch dimension padded to a multiple of 64, so a whole
+    # mapping run compiles O(1) programs per target subset instead of one
+    # per (batch, sketch-max) combination
+    BATCH = 256
 
     def candidates(self, frags):
         """frags: list of dicts with keys hashes (sorted u64 array),
         n (sketch size), q_len, q_seqid, q_group, min_hits.
         Returns list of (list[tuple(seq,start,end,inter)] | None)."""
+        out: list = []
+        for c0 in range(0, len(frags), self.BATCH):
+            out.extend(self._candidates_chunk(frags[c0:c0 + self.BATCH]))
+        return out
+
+    def _candidates_chunk(self, frags):
+        import time
+
+        from ..utils import perf
+
         p = self.params
-        B = len(frags)
-        if B == 0:
+        if not frags:
             return []
-        S = max(max(len(f["hashes"]) for f in frags), 1)
+        B = self.BATCH
+        S = -(-max(max(len(f["hashes"]) for f in frags), 1) // 64) * 64
         qh = np.full((B, S), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
         q_nh = np.zeros(B, np.int32)
         meta = np.zeros((B, 5), np.int32)
@@ -335,6 +355,8 @@ class DeviceL1:
             q_nh[i] = len(h)
             meta[i] = (f["q_group"], f["q_seqid"], f["min_hits"],
                        f["n"], f["q_len"])
+        meta[len(frags):, 3] = 1          # pad rows: sketch_size >= 1
+        t0 = time.monotonic()
         qh_hi, qh_lo = _split_u64(qh)
         cand, ncand, overflow = _l1_kernel(
             jnp.asarray(qh_hi), jnp.asarray(qh_lo), jnp.asarray(q_nh),
@@ -353,6 +375,8 @@ class DeviceL1:
         cand = np.asarray(cand)
         ncand = np.asarray(ncand)
         overflow = np.asarray(overflow)
+        perf.add("map.device_s", time.monotonic() - t0)
+        perf.add("map.device_calls", 1)
         out = []
         for i, f in enumerate(frags):
             if overflow[i] or f["q_len"] != p.window_length \

@@ -61,6 +61,111 @@ def _mp_run_one(qname):
     return mapper.map_query(qname, seq, index)
 
 
+def _mp_sketch_one(qname):
+    """Phase-1 fork worker: fetch + fragment + sketch (pure host)."""
+    mapper = _MP_STATE["mapper"]
+    readers = _MP_STATE["readers"]
+    seq = None
+    for reader in readers.values():
+        if qname in reader:
+            seq = reader.fetch(qname)
+            break
+    if seq is None or len(seq) == 0:
+        return None
+    return len(seq), mapper.sketch_query(seq)
+
+
+def _mp_l2_one(qname, qlen, entries):
+    """Phase-3 fork worker: L2 + filters (host; index via fork COW)."""
+    mapper = _MP_STATE["mapper"]
+    index = _MP_STATE["index"]
+    return mapper.map_query_precomputed(qname, qlen, entries, index)
+
+
+def _map_queries_device(mapper, index, query_readers, query_names, params,
+                        meter):
+    """Phase-structured mapping with the device L1 (VERDICT round-2 #3):
+
+    1. fetch + fragment + sketch every query (fork pool, pure host);
+    2. ONE stream of batched device L1 calls over ALL fragments of all
+       queries (parent process only — forked children never touch the
+       device);
+    3. L2 walk + filters per query (fork pool, native C++ + numpy).
+
+    Byte-identical to the host path: the device kernel is bit-identical
+    per fragment (tests/test_l1_device.py) and fragment order is
+    preserved end to end."""
+    results: list = []
+    use_pool = params.threads > 1 and len(query_names) > 1
+    pool = ctx = None
+    if use_pool:
+        import multiprocessing as mp_mod
+
+        ctx = mp_mod.get_context("fork")
+        _MP_STATE["mapper"] = mapper
+        _MP_STATE["index"] = index
+        _MP_STATE["readers"] = query_readers
+        pool = ctx.Pool(processes=params.threads)
+    try:
+        WAVE = 64
+        for w0 in range(0, len(query_names), WAVE):
+            wave = query_names[w0:w0 + WAVE]
+            if pool is not None:
+                sketched = pool.map(_mp_sketch_one, wave)
+            else:
+                _MP_STATE.update(mapper=mapper, index=index,
+                                 readers=query_readers)
+                sketched = [_mp_sketch_one(q) for q in wave]
+            # phase 2: one batched device stream over the wave
+            flat = []            # (wave_idx, entry_idx)
+            frag_dicts = []
+            for wi, got in enumerate(sketched):
+                if got is None:
+                    continue
+                _, entries = got
+                for ei, (fi, q_len, sk, ok) in enumerate(entries):
+                    if ok:
+                        flat.append((wi, ei))
+                        frag_dicts.append(dict(
+                            hashes=sk.hashes, n=sk.sketch_size,
+                            q_len=q_len,
+                            q_seqid=mapper.idm.get_sequence_id(wave[wi]),
+                            q_group=int(mapper.group_of(
+                                [mapper.idm.get_sequence_id(wave[wi])])[0]),
+                            min_hits=mapper._minimum_hits_for(q_len, sk)))
+            rows = mapper.device_l1.candidates(frag_dicts)
+            # attach rows; drop skipped (not ok) fragments entirely
+            tasks = []
+            rows_of: dict = {k: r for k, r in zip(flat, rows)}
+            for wi, got in enumerate(sketched):
+                if got is None:
+                    continue
+                qlen, entries = got
+                ent3 = []
+                for ei, (fi, q_len, sk, ok) in enumerate(entries):
+                    if ok:
+                        ent3.append((fi, q_len, sk, rows_of[(wi, ei)]))
+                tasks.append((wave[wi], qlen, ent3))
+            if pool is not None:
+                got3 = pool.starmap(_mp_l2_one, tasks)
+            else:
+                got3 = [_mp_l2_one(*t) for t in tasks]
+            it = iter(got3)
+            for wi, got in enumerate(sketched):
+                if got is None:
+                    results.append(None)
+                else:
+                    r = next(it)
+                    results.append(r)
+                    meter.increment(r.query_len)
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+        _MP_STATE.clear()
+    return results
+
+
 def filtered_names(names, prefixes, single_prefix=""):
     if single_prefix:
         return [n for n in names if n.startswith(single_prefix)]
@@ -166,10 +271,18 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         # WFMASH_TPU_DEVICE_L1: route the L1 stage through the batched
         # device kernel (map/l1_device.py). "1" = single-device,
         # "mesh" = hash-range sharded over a (shard, data) mesh
-        # (parallel/mesh.py). Byte-identical to the host path (tested).
+        # (parallel/mesh.py), "0" = host. Default: ON when an accelerator
+        # is present (VERDICT round-2 #3), host on CPU-only machines.
         import os as _os2
 
-        _dl1 = _os2.environ.get("WFMASH_TPU_DEVICE_L1", "0")
+        _dl1 = _os2.environ.get("WFMASH_TPU_DEVICE_L1")
+        if _dl1 is None:
+            try:
+                import jax as _jax0
+
+                _dl1 = "1" if _jax0.default_backend() != "cpu" else "0"
+            except Exception:   # pragma: no cover - no jax
+                _dl1 = "0"
         if _dl1 != "0":
             try:
                 if _dl1 == "mesh":
@@ -221,7 +334,12 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         import os as _os
 
         results = None
-        if (params.threads > 1 and len(query_names) > 1
+        if mapper.device_l1 is not None:
+            # phase-structured pipeline: device L1 runs in the parent
+            # only; sketching and L2/filters fork-pool around it
+            results = _map_queries_device(
+                mapper, index, query_readers, query_names, params, meter)
+        elif (params.threads > 1 and len(query_names) > 1
                 and (_os.cpu_count() or 1) > 1):
             try:
                 import multiprocessing as mp_mod
