@@ -499,14 +499,30 @@ class SegmentedEngine:
             return
         rev_jobs = [(bytes(reverse_complement(bytearray(sq))), st)
                     for _, _, sq, st in cands]
-        rev_got = self.solver.solve(rev_jobs)
+        # certify=False: a banded rev-comp CIGAR within budget is a real
+        # alignment within budget (sound evidence of the inversion);
+        # optimality is irrelevant for the try, so no band certificate
+        # and no host retry of uncertified results. A "scorecap" status
+        # with budget <= the attempting tier's smax PROVES the rev score
+        # exceeds the budget — also no host retry. Host fallback remains
+        # only for envelope rejects (fork-pooled, score-bounded).
+        stat: list = []
+        rev_got = self.solver.solve(rev_jobs, certify=False, status=stat)
         budgets = [int(math.ceil(
             score_cigar(plans[ji][pi], self.p) * 0.9))
             for (ji, pi, _, _) in cands]
-        # kernel rejects (score cap / uncertified band) retry on host
-        # with the score budget — fork-pooled: these are the divergent
-        # pieces, and a serial loop here was a parent-process stall
-        fb = [k for k, rops in enumerate(rev_got) if rops is None]
+
+        def needs_host(k):
+            if rev_got[k] is not None:
+                return False
+            s = stat[k]
+            code, smax = s if isinstance(s, tuple) else (
+                s, getattr(self.solver, "smax", 0))
+            if code == "scorecap" and budgets[k] <= smax:
+                return False           # proven: rev score > budget
+            return True
+
+        fb = [k for k in range(len(rev_got)) if needs_host(k)]
         if fb:
             fb_args = [(rev_jobs[k][0], rev_jobs[k][1], self.p,
                         budgets[k]) for k in fb]

@@ -642,6 +642,14 @@ class JaxWfaEngine:
 
         _t0 = _time.monotonic()
         n_rest = len(rest)
+        import os as _os
+
+        _lg = _os.environ.get("WFMASH_TPU_LEAF_LOG")
+        if _lg and rest:
+            with open(_lg, "a") as _fh:
+                for k in rest:
+                    _i, _o, q, t, ef = deferred[k]
+                    _fh.write(f"{len(q)}\t{len(t)}\t{ef}\n")
         if self.threads > 1 and len(rest) >= 8:
             from ..utils.hostpool import get_pool
 

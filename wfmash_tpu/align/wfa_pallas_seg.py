@@ -442,7 +442,7 @@ def _run_seg_impl(qarr, tarr, par, *, penalties, PB, K, smax, maxr,
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=120 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         grid=(G,),
@@ -619,14 +619,23 @@ class SegmentSolver:
     def accepts(self, qlen: int, tlen: int, ends_free=None) -> bool:
         return self._envelope(qlen, tlen, ends_free) is not None
 
-    def solve(self, jobs):
+    def solve(self, jobs, certify: bool = True, status: list | None = None):
+        """status (optional, filled per job): "ok", "envelope" (outside
+        the band/length envelope), "scorecap" (forward sweep exhausted
+        smax — the true score EXCEEDS smax), "uncert" (banded result
+        above the certificate bound; only with certify=True), "badbt".
+        certify=False returns uncertified banded CIGARs: replayable,
+        score-valid alignments that may not be globally optimal — sound
+        for budget checks (inversion tries), NOT for the main path."""
         results: list = [None] * len(jobs)
+        st = ["envelope"] * len(jobs)
         todo = []
         for i, job in enumerate(jobs):
             q, t, ef = _job_parts(job)
             m, n = len(q), len(t)
             if m == 0 and n == 0:
                 results[i] = []
+                st[i] = "ok"
             elif (m == 0 or n == 0) and ef is None:
                 ops = []
                 if n:
@@ -634,6 +643,7 @@ class SegmentSolver:
                 if m:
                     ops.append((m, "I"))
                 results[i] = ops
+                st[i] = "ok"
             elif m and n and self.accepts(m, n, ef):
                 todo.append(i)
         # sort by size so lockstep groups finish together (one slow
@@ -641,10 +651,12 @@ class SegmentSolver:
         todo.sort(key=lambda i: max(len(jobs[i][0]), len(jobs[i][1])))
         for c0 in range(0, len(todo), self.max_call):
             chunk = todo[c0:c0 + self.max_call]
-            self._solve_chunk(chunk, jobs, results)
+            self._solve_chunk(chunk, jobs, results, st, certify)
+        if status is not None:
+            status[:] = st
         return results
 
-    def _solve_chunk(self, idxs, jobs, results):
+    def _solve_chunk(self, idxs, jobs, results, st, certify):
         import time
 
         from ..utils import perf
@@ -691,16 +703,22 @@ class SegmentSolver:
         perf.add("align.device_s", time.monotonic() - t0)
         perf.add("align.device_calls", 1)
         for j, i in enumerate(idxs):
-            if not term[j, 0] or not term[j, 5]:
-                continue                       # fail / bad backtrace
+            if not term[j, 0]:
+                st[i] = "scorecap"
+                continue
+            if not term[j, 5]:
+                st[i] = "badbt"
+                continue
             score = int(term[j, 1])
-            if term[j, 3] or cert_always[j]:
+            if certify and (term[j, 3] or cert_always[j]):
                 # the certificate bound (see _envelope): a banded score
                 # strictly below it proves no out-of-band path can win.
                 # Checked on band-edge contact, or unconditionally when
                 # the seed/accept hull was truncated to fit the band.
                 if score >= int(cert_b[j]):
+                    st[i] = "uncert"
                     continue
+            st[i] = "ok"
             c = int(term[j, 4])
             vals = runs[j, c + 1:self.maxr]
             ops = [(int(v) & 0xFFFFFF, OP_CHARS[int(v) >> 24]) for v in vals]
@@ -734,16 +752,25 @@ class TieredSegmentSolver:
                                 smax=384, lseg=512, groups=64, mesh=mesh)
         self.t3 = SegmentSolver(penalties, interpret, PB=16, K=512,
                                 smax=768, lseg=2048, groups=32, mesh=mesh)
-        self.tiers = (self.t1, self.t2, self.t3)
-        self.lseg = self.t3.lseg
-        self.K = self.t3.K
+        # tier 4 — the deep-patch tier: K=1024 doubles the certificate
+        # bound (gap_cost(512) = 536) and lseg=4224 admits full-size
+        # boundary-patch erodes (<= 4096 a side, wflign.cpp:240-418);
+        # smax=512 caps the sweep — ~80 MiB of VMEM history
+        self.t4 = SegmentSolver(penalties, interpret, PB=16, K=1024,
+                                smax=512, lseg=4224, groups=16, mesh=mesh)
+        self.tiers = (self.t1, self.t2, self.t3, self.t4)
+        self.lseg = self.t4.lseg
+        self.K = self.t4.K
         self.smax = self.t3.smax
 
     def accepts(self, qlen: int, tlen: int, ends_free=None) -> bool:
         return any(t.accepts(qlen, tlen, ends_free) for t in self.tiers)
 
-    def solve(self, jobs):
+    def solve(self, jobs, certify: bool = True, status: list | None = None):
+        """Like SegmentSolver.solve, but status entries are
+        (code, smax_of_deepest_attempting_tier) tuples."""
         res: list = [None] * len(jobs)
+        st: list = [("envelope", 0)] * len(jobs)
         pending = list(range(len(jobs)))
         for tier in self.tiers:
             if not pending:
@@ -753,8 +780,16 @@ class TieredSegmentSolver:
                                    _job_parts(jobs[i])[2])
                    or not jobs[i][0] or not jobs[i][1]]
             if idx:
-                got = tier.solve([jobs[i] for i in idx])
-                for i, o in zip(idx, got):
+                tst: list = []
+                got = tier.solve([jobs[i] for i in idx], certify=certify,
+                                 status=tst)
+                for i, o, s in zip(idx, got, tst):
                     res[i] = o
+                    if s != "envelope":
+                        # deepest tier that attempted it, with its score
+                        # budget (a "scorecap" proves score > that smax)
+                        st[i] = (s, tier.smax)
             pending = [i for i in pending if res[i] is None]
+        if status is not None:
+            status[:] = st
         return res

@@ -74,6 +74,7 @@ class Mapper:
         self._group_arr = np.asarray(id_manager.group_ids, dtype=np.int64)
         self._len_arr = np.asarray(id_manager.lengths, dtype=np.int64)
         self.device_l1 = None     # optional map/l1_device.py backend
+        self.device_l2 = None     # optional map/l2_device.py backend
 
         if params.stage1_topANI_filter:
             self.sketch_cutoffs = stats.compute_sketch_cutoffs(
@@ -164,10 +165,16 @@ class Mapper:
         return self._l2_collect(sketch, q_len, frag_index, l1, index)
 
     def _l2_collect(self, sketch, q_len: int, frag_index: int,
-                    l1: list[L1Candidate], index) -> list[tuple]:
+                    l1: list[L1Candidate], index,
+                    l2_of: list | None = None) -> list[tuple]:
         # L2 per group run over l1, candidates in intersection-desc order
-        # (computeMap.hpp:895-918, 988-1060)
+        # (computeMap.hpp:895-918, 988-1060). l2_of: optional list
+        # parallel to l1 with precomputed (device) L2 mappings per
+        # candidate — None entries re-run the host walk.
         p = self.params
+        of_cand: dict = {}
+        if l2_of is not None:
+            of_cand = {id(c): r for c, r in zip(l1, l2_of)}
         out = []
         b = 0
         nl1 = len(l1)
@@ -192,7 +199,10 @@ class Mapper:
                     cutoff_j = stats.md2j(1.0 - cutoff_ani, p.kmer_size)
                     if cand.intersection_size / sketch.sketch_size < cutoff_j:
                         break
-                l2s = compute_l2_mapped_regions(sketch, q_len, cand, index, p)
+                l2s = of_cand.get(id(cand))
+                if l2s is None:
+                    l2s = compute_l2_mapped_regions(sketch, q_len, cand,
+                                                    index, p)
                 for l2 in l2s:
                     mash_dist = stats.j2md(
                         float(np.float32(1.0 * l2.shared_sketch_size / sketch.sketch_size)),
@@ -302,19 +312,25 @@ class Mapper:
                               entries, index) -> QueryResult:
         """Phase-3 worker: L2 + filters for a query whose sketches and
         (device) L1 candidates were computed in earlier phases.
-        entries: [(frag_index, q_len, sketch, l1_rows | None)] — None
-        rows re-run the host L1 (device cap overflow fallback)."""
+        entries: [(frag_index, q_len, sketch, l1_rows | None[, l2s])] —
+        None rows re-run the host L1 (device cap overflow fallback);
+        the optional l2s list (parallel to l1_rows) carries device-L2
+        results, None entries re-running the host walk."""
         seq_id = self.idm.get_sequence_id(query_name)
         group = int(self.group_of([seq_id])[0])
         raw: list[tuple] = []
-        for fi, q_len, sk, rows in entries:
+        for ent in entries:
+            fi, q_len, sk, rows = ent[:4]
+            l2s = ent[4] if len(ent) > 4 else None
             if rows is None:
                 l1 = self._host_l1(sk, q_len, seq_id, group,
                                    self._minimum_hits_for(q_len, sk), index)
+                l2s = None
             else:
                 l1 = [L1Candidate(*r) for r in rows]
             if l1:
-                raw.extend(self._l2_collect(sk, q_len, fi, l1, index))
+                raw.extend(self._l2_collect(sk, q_len, fi, l1, index,
+                                            l2_of=l2s))
         return self.finish_query(query_name, qlen, seq_id, raw)
 
     def finish_query(self, query_name: str, qlen: int, seq_id: int,

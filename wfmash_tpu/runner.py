@@ -146,6 +146,38 @@ def _map_queries_device(mapper, index, query_readers, query_names, params,
                     if ok:
                         ent3.append((fi, q_len, sk, rows_of[(wi, ei)]))
                 tasks.append((wave[wi], qlen, ent3))
+            # phase 2.5: batched device L2 over every candidate of the
+            # wave (parent only); results ride into the fork tasks as
+            # parallel lists, None = host-walk fallback per candidate
+            if getattr(mapper, "device_l2", None) is not None:
+                from .map.l1l2 import L1Candidate
+
+                l2_rows, l2_pos = [], []
+                cands_of: dict = {}
+                for ti, (qname, qlen, ent3) in enumerate(tasks):
+                    for ei, (fi, q_len, sk, rws) in enumerate(ent3):
+                        if not rws:
+                            continue
+                        cands = [L1Candidate(*r) for r in rws]
+                        cands_of[(ti, ei)] = cands
+                        for ci, cand in enumerate(cands):
+                            l2_rows.append((sk, q_len, cand))
+                            l2_pos.append((ti, ei, ci))
+                l2_got = mapper.device_l2.walk(l2_rows) if l2_rows else []
+                l2_map: dict = {}
+                for (ti, ei, ci), g in zip(l2_pos, l2_got):
+                    l2_map.setdefault((ti, ei), {})[ci] = g
+                for ti in range(len(tasks)):
+                    qname, qlen, ent3 = tasks[ti]
+                    ent5 = []
+                    for ei, (fi, q_len, sk, rws) in enumerate(ent3):
+                        l2s = None
+                        if rws and (ti, ei) in l2_map:
+                            got_d = l2_map[(ti, ei)]
+                            l2s = [got_d.get(ci)
+                                   for ci in range(len(rws))]
+                        ent5.append((fi, q_len, sk, rws, l2s))
+                    tasks[ti] = (qname, qlen, ent5)
             if pool is not None:
                 got3 = pool.starmap(_mp_l2_one, tasks)
             else:
@@ -302,6 +334,13 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
                     mapper.device_l1 = DeviceL1(
                         index, mapper._group_arr, params,
                         mapper.sketch_cutoffs)
+                # device L2 rides with device L1 (same default;
+                # WFMASH_TPU_DEVICE_L2=0 forces the host/native walk)
+                if (_os2.environ.get("WFMASH_TPU_DEVICE_L2", "1") != "0"
+                        and mapper.device_l1 is not None):
+                    from .map.l2_device import DeviceL2
+
+                    mapper.device_l2 = DeviceL2(index, params)
             except Exception as e:   # pragma: no cover
                 log(f"[wfmash::mashmap] device L1 unavailable ({e}); "
                     "using host L1")
