@@ -219,3 +219,18 @@ def test_strict_parity_suppresses_inversion_rows(tmp_path):
     rows = out.getvalue().splitlines()
     assert rows, "no alignment rows at all"
     assert not [r for r in rows if "iv:Z:" in r or "pt:Z:" in r]
+
+
+def test_structural_gap_placement():
+    """A piece whose skew exceeds every device band envelope takes the
+    k-mer placement path: flanks as plain gap runs + device middle —
+    replay-exact, with the gap where the votes put it."""
+    rng = np.random.default_rng(44)
+    eng = make_engine()
+    t = random_dna(rng, 9000)
+    junk = random_dna(rng, 3000)            # skew 3000 > K4 - margin
+    q = mutate(rng, t[:6000], 0.02) + junk + mutate(rng, t[6000:], 0.02)
+    ops = eng.align(q, t)
+    assert ops is not None
+    assert C.validate(ops, q, t, 0, 0)
+    assert max((n for n, op in ops if op == "I"), default=0) > 2000

@@ -245,6 +245,52 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     return rq, rt
 
 
+def _place_short(short: bytes, long_: bytes, k: int = 13,
+                 max_occ: int = 8):
+    """Best placement offset of `short` inside `long_` by k-mer diagonal
+    voting (coarse 32-wide buckets, refined by the median in-bucket
+    diagonal). Returns an offset in [0, len(long_) - len(short)] or None
+    when fewer than 5 k-mer votes exist (no homology signal)."""
+    s = np.frombuffer(short, np.uint8)
+    l = np.frombuffer(long_, np.uint8)
+    cs, ps = _rare_positions(*_kmer_codes(s, k), max_occ)
+    cl, pl = _rare_positions(*_kmer_codes(l, k), max_occ)
+    if len(cs) == 0 or len(cl) == 0:
+        return None
+    # merge-join the code-sorted lists, cartesian within equal runs
+    diags = []
+    i = j = 0
+    while i < len(cs) and j < len(cl) and len(diags) < 100_000:
+        if cs[i] < cl[j]:
+            i += 1
+        elif cs[i] > cl[j]:
+            j += 1
+        else:
+            c = cs[i]
+            i2 = i
+            while i2 < len(cs) and cs[i2] == c:
+                i2 += 1
+            j2 = j
+            while j2 < len(cl) and cl[j2] == c:
+                j2 += 1
+            for a in range(i, i2):
+                for b in range(j, j2):
+                    diags.append(int(pl[b]) - int(ps[a]))
+            i, j = i2, j2
+    if len(diags) < 5:
+        return None
+    d = np.asarray(diags)
+    lim = len(long_) - len(short)
+    d = d[(d >= -32) & (d <= lim + 32)]
+    if len(d) < 5:
+        return None
+    bucket = d // 32
+    vals, counts = np.unique(bucket, return_counts=True)
+    best = vals[np.argmax(counts)]
+    inb = d[bucket == best]
+    return int(np.clip(np.median(inb), 0, lim))
+
+
 def _rev_try_host(rq, st, p, budget):
     """Fork-pool worker: score-bounded rev-comp try (pure numpy)."""
     from .wfa_vec import wfa_align as host_wfa
@@ -282,7 +328,14 @@ class SegmentedEngine:
         if hasattr(exact_engine, "HOST_LEN"):
             exact_engine.HOST_LEN = max(exact_engine.HOST_LEN, 8000)
         self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0,
-                      "inversions": 0}
+                      "inversions": 0, "banded": 0}
+        # accept banded (uncertified) piece results for divergent pieces
+        # (fidelity-ledger divergence; WFMASH_TPU_EXACT_PIECES=1 forces
+        # exact-engine escalation instead, the round-2 behavior)
+        import os as _os
+
+        self.banded_pieces = _os.environ.get(
+            "WFMASH_TPU_EXACT_PIECES", "0") != "1"
         self.threads = getattr(exact_engine, "threads", 1)
         self.min_inversion_length = 23   # align_parameters.hpp:70
         # strict-parity mode skips the rev-comp inversion try entirely
@@ -306,6 +359,7 @@ class SegmentedEngine:
         plans: list = [None] * n      # per job: list of piece descriptors
         exact_jobs: list = []         # (job_index, piece_index, q, t, ef)
         seg_jobs: list = []           # (job_index, piece_index, q, t, ef)
+        placed_jobs: list = []        # (ji, pi, mid_q, mid_t, pre, post)
         whole: set = set()            # ji whose piece 0 IS the whole job
         bounds_of: dict = {}          # ji -> (bounds_q, bounds_t)
         # NOTE: self.inversions accumulates (the driver clears it before
@@ -384,18 +438,69 @@ class SegmentedEngine:
                     if ef is not None and self.solver.accepts(
                             len(sq), len(st), ef):
                         seg_jobs.append((ji, pi, sq, st, ef))
+                    elif ef is not None:
+                        # too big for the device ends-free envelope: an
+                        # unbounded host ends-free WFA on a multi-kb
+                        # piece costs seconds (the free spans seed the
+                        # whole band). Place the SHORT side inside the
+                        # long one by k-mer diagonal voting, emit the
+                        # flanks as plain gap runs, and align the middle
+                        # end-to-end (device tiers) — near-optimal and
+                        # replay-exact (ledgered with the segmented
+                        # mode's anchor-pinning divergence).
+                        skew = len(sq) - len(st)
+                        off = (_place_short(st, sq) if skew > 0
+                               else _place_short(sq, st))
+                        if off is None:
+                            exact_jobs.append((ji, pi, sq, st, ef))
+                        elif skew > 0:
+                            placed_jobs.append(
+                                (ji, pi, sq[off:off + len(st)], st,
+                                 [(off, "I")] if off else [],
+                                 [(skew - off, "I")] if skew - off
+                                 else []))
+                        else:
+                            placed_jobs.append(
+                                (ji, pi, sq, st[off:off + len(sq)],
+                                 [(off, "D")] if off else [],
+                                 [(-skew - off, "D")] if -skew - off
+                                 else []))
                     else:
                         exact_jobs.append((ji, pi, sq, st, ef))
             plans[ji] = pieces
 
-        # device lockstep pass over every segment of every block
+        # device lockstep pass over every segment of every block. Every
+        # job carries its trivial score upper bound (all-mismatch +
+        # length-difference gap: no alignment can cost more), so garbage
+        # pieces stop sweeping at their bound instead of the tier smax.
         self.stats["segments"] += len(seg_jobs)
         _t1 = _time.monotonic()
+
+        def score_ub(sq, st, ef):
+            if ef is not None:
+                return None          # free spans invalidate the bound
+            return (self.p.mismatch * min(len(sq), len(st))
+                    + self.p.gap_cost(abs(len(sq) - len(st))))
+
+        unc: list = []
         seg_ops = self.solver.solve(
-            [(sq, st, ef) for _, _, sq, st, ef in seg_jobs])
+            [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
+            max_scores=[score_ub(sq, st, ef)
+                        for _, _, sq, st, ef in seg_jobs],
+            uncertified=unc)
         perf.add("align.seg_solve_s", _time.monotonic() - _t1)
         escal_jobs = []
-        for (ji, pi, sq, st, ef), ops in zip(seg_jobs, seg_ops):
+        for k, ((ji, pi, sq, st, ef), ops) in enumerate(
+                zip(seg_jobs, seg_ops)):
+            if ops is None and unc[k] is not None and self.banded_pieces:
+                # band-edge contact above the certificate on a divergent
+                # piece: the banded CIGAR is replayable and score-valid,
+                # just not provably optimal. Accepting it (the default)
+                # is the same trade wfmash's historical wflambda default
+                # made with WFmash-heuristic wavefront pruning — exact
+                # per-piece results on demand via WFMASH_TPU_EXACT_PIECES.
+                ops = unc[k]
+                self.stats["banded"] += 1
             if ops is None:
                 escal_jobs.append((ji, pi, sq, st, ef))
                 self.stats["escalated"] += 1
@@ -423,6 +528,42 @@ class SegmentedEngine:
                     plans[ji] = [ops]          # whole-block result
                 else:
                     plans[ji][pi] = ops
+
+        # placed structural-gap middles: solve end-to-end through the
+        # tiers, wrap with the flank gap runs; tier failures solve the
+        # MIDDLE on the host (bounded — never the ends-free monster)
+        if placed_jobs:
+            mids = [(q, t) for _, _, q, t, _, _ in placed_jobs]
+            unc_m: list = []
+            got_m = self.solver.solve(
+                mids,
+                max_scores=[self.p.mismatch * min(len(q), len(t))
+                            + self.p.gap_cost(abs(len(q) - len(t)))
+                            for q, t in mids],
+                uncertified=unc_m)
+            if self.banded_pieces:
+                for k in range(len(got_m)):
+                    if got_m[k] is None and unc_m[k] is not None:
+                        got_m[k] = unc_m[k]
+                        self.stats["banded"] += 1
+            host_mid = [k for k, o in enumerate(got_m) if o is None]
+            if host_mid:
+                try:
+                    got_h = self.exact.align_batch(
+                        [(mids[k][0], mids[k][1], None)
+                         for k in host_mid], allow_seg=False)
+                except TypeError:
+                    got_h = self.exact.align_batch(
+                        [(mids[k][0], mids[k][1], None)
+                         for k in host_mid])
+                for k, o in zip(host_mid, got_h):
+                    got_m[k] = o
+            for (ji, pi, q, t, pre, post), ops in zip(placed_jobs, got_m):
+                wrapped = merge_adjacent(pre, list(ops)) if pre else \
+                    list(ops)
+                wrapped = merge_adjacent(wrapped, post) if post else \
+                    wrapped
+                plans[ji][pi] = wrapped
 
         _t2 = _time.monotonic()
         run_exact(exact_jobs, True)
@@ -502,15 +643,18 @@ class SegmentedEngine:
         # certify=False: a banded rev-comp CIGAR within budget is a real
         # alignment within budget (sound evidence of the inversion);
         # optimality is irrelevant for the try, so no band certificate
-        # and no host retry of uncertified results. A "scorecap" status
-        # with budget <= the attempting tier's smax PROVES the rev score
-        # exceeds the budget — also no host retry. Host fallback remains
-        # only for envelope rejects (fork-pooled, score-bounded).
-        stat: list = []
-        rev_got = self.solver.solve(rev_jobs, certify=False, status=stat)
+        # and no host retry of uncertified results. The 0.9x forward
+        # budget rides into the kernel as a per-job score cap
+        # (max_scores): garbage rev tries give up AT the budget instead
+        # of sweeping every tier to smax, and the resulting "scorecap"
+        # PROVES rev_score > budget — no host retry. Host fallback
+        # remains only for envelope rejects (fork-pooled, bounded).
         budgets = [int(math.ceil(
             score_cigar(plans[ji][pi], self.p) * 0.9))
             for (ji, pi, _, _) in cands]
+        stat: list = []
+        rev_got = self.solver.solve(rev_jobs, certify=False, status=stat,
+                                    max_scores=budgets)
 
         def needs_host(k):
             if rev_got[k] is not None:

@@ -280,7 +280,14 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
                                             term_ref[0, :, 6:7])
             term_ref[0, :, 7:8] = jnp.where(newly, h_a,
                                             term_ref[0, :, 7:8])
-            return s + 1, 1 - jnp.min(all_done.astype(jnp.int32))
+            # per-problem score cap (par col 8; 0 = none): a problem
+            # still unfinished at its cap can never finish within it —
+            # stop sweeping for it (score-bounded solves, e.g. the
+            # rev-comp inversion tries, pay their budget, not smax)
+            cap = par_ref[0, :, 8:9]
+            gave_up = (cap > 0) & (s >= cap)
+            stop = all_done | gave_up
+            return s + 1, 1 - jnp.min(stop.astype(jnp.int32))
 
         jax.lax.while_loop(
             fcond, fbody,
@@ -619,14 +626,22 @@ class SegmentSolver:
     def accepts(self, qlen: int, tlen: int, ends_free=None) -> bool:
         return self._envelope(qlen, tlen, ends_free) is not None
 
-    def solve(self, jobs, certify: bool = True, status: list | None = None):
+    def solve(self, jobs, certify: bool = True, status: list | None = None,
+              max_scores: list | None = None,
+              uncertified: list | None = None):
         """status (optional, filled per job): "ok", "envelope" (outside
         the band/length envelope), "scorecap" (forward sweep exhausted
-        smax — the true score EXCEEDS smax), "uncert" (banded result
-        above the certificate bound; only with certify=True), "badbt".
+        the score budget — the true score EXCEEDS min(cap, smax)),
+        "uncert" (banded result above the certificate bound; only with
+        certify=True), "badbt".
         certify=False returns uncertified banded CIGARs: replayable,
         score-valid alignments that may not be globally optimal — sound
-        for budget checks (inversion tries), NOT for the main path."""
+        for budget checks (inversion tries), NOT for the main path.
+        max_scores: optional per-job score caps — the sweep gives a job
+        up early once its cap is exceeded (cheap refutation).
+        uncertified (optional list): filled with the banded CIGAR for
+        "uncert" jobs (replayable, score-valid, possibly suboptimal) so
+        callers can accept them as a ledgered approximation."""
         results: list = [None] * len(jobs)
         st = ["envelope"] * len(jobs)
         todo = []
@@ -649,14 +664,19 @@ class SegmentSolver:
         # sort by size so lockstep groups finish together (one slow
         # problem forces its whole group to its score)
         todo.sort(key=lambda i: max(len(jobs[i][0]), len(jobs[i][1])))
+        unc: list = [None] * len(jobs)
         for c0 in range(0, len(todo), self.max_call):
             chunk = todo[c0:c0 + self.max_call]
-            self._solve_chunk(chunk, jobs, results, st, certify)
+            self._solve_chunk(chunk, jobs, results, st, certify,
+                              max_scores, unc)
         if status is not None:
             status[:] = st
+        if uncertified is not None:
+            uncertified[:] = unc
         return results
 
-    def _solve_chunk(self, idxs, jobs, results, st, certify):
+    def _solve_chunk(self, idxs, jobs, results, st, certify, max_scores,
+                     unc):
         import time
 
         from ..utils import perf
@@ -688,6 +708,8 @@ class SegmentSolver:
             par[j, 5] = qb
             par[j, 6] = te
             par[j, 7] = qe
+            if max_scores is not None and max_scores[i] is not None:
+                par[j, 8] = min(int(max_scores[i]), self.smax)
             cert_b[j] = cbound
             cert_always[j] = calways
         t0 = time.monotonic()
@@ -710,6 +732,9 @@ class SegmentSolver:
                 st[i] = "badbt"
                 continue
             score = int(term[j, 1])
+            c = int(term[j, 4])
+            vals = runs[j, c + 1:self.maxr]
+            ops = [(int(v) & 0xFFFFFF, OP_CHARS[int(v) >> 24]) for v in vals]
             if certify and (term[j, 3] or cert_always[j]):
                 # the certificate bound (see _envelope): a banded score
                 # strictly below it proves no out-of-band path can win.
@@ -717,11 +742,9 @@ class SegmentSolver:
                 # the seed/accept hull was truncated to fit the band.
                 if score >= int(cert_b[j]):
                     st[i] = "uncert"
+                    unc[i] = ops       # banded result, caller's choice
                     continue
             st[i] = "ok"
-            c = int(term[j, 4])
-            vals = runs[j, c + 1:self.maxr]
-            ops = [(int(v) & 0xFFFFFF, OP_CHARS[int(v) >> 24]) for v in vals]
             results[i] = ops
 
 
@@ -758,7 +781,13 @@ class TieredSegmentSolver:
         # smax=512 caps the sweep — ~80 MiB of VMEM history
         self.t4 = SegmentSolver(penalties, interpret, PB=16, K=1024,
                                 smax=512, lseg=4224, groups=16, mesh=mesh)
-        self.tiers = (self.t1, self.t2, self.t3, self.t4)
+        # tier 5 — deep-divergence: unanchorable <=1 kb pieces (no
+        # 13-mer chain at 25-40% divergence) sweep to smax=1536 in a
+        # narrow band; ~63 MiB of history
+        self.t5 = SegmentSolver(penalties, interpret, PB=16, K=256,
+                                smax=1536, lseg=1024, groups=32,
+                                mesh=mesh)
+        self.tiers = (self.t1, self.t2, self.t3, self.t4, self.t5)
         self.lseg = self.t4.lseg
         self.K = self.t4.K
         self.smax = self.t3.smax
@@ -766,11 +795,14 @@ class TieredSegmentSolver:
     def accepts(self, qlen: int, tlen: int, ends_free=None) -> bool:
         return any(t.accepts(qlen, tlen, ends_free) for t in self.tiers)
 
-    def solve(self, jobs, certify: bool = True, status: list | None = None):
+    def solve(self, jobs, certify: bool = True, status: list | None = None,
+              max_scores: list | None = None,
+              uncertified: list | None = None):
         """Like SegmentSolver.solve, but status entries are
         (code, smax_of_deepest_attempting_tier) tuples."""
         res: list = [None] * len(jobs)
         st: list = [("envelope", 0)] * len(jobs)
+        unc_all: list = [None] * len(jobs)
         pending = list(range(len(jobs)))
         for tier in self.tiers:
             if not pending:
@@ -781,15 +813,31 @@ class TieredSegmentSolver:
                    or not jobs[i][0] or not jobs[i][1]]
             if idx:
                 tst: list = []
-                got = tier.solve([jobs[i] for i in idx], certify=certify,
-                                 status=tst)
-                for i, o, s in zip(idx, got, tst):
+                tunc: list = []
+                got = tier.solve(
+                    [jobs[i] for i in idx], certify=certify, status=tst,
+                    max_scores=None if max_scores is None else
+                    [max_scores[i] for i in idx], uncertified=tunc)
+                refuted = set()
+                for i, o, s, u in zip(idx, got, tst, tunc):
                     res[i] = o
+                    if u is not None:
+                        unc_all[i] = u   # deepest tier's banded result
                     if s != "envelope":
                         # deepest tier that attempted it, with its score
                         # budget (a "scorecap" proves score > that smax)
                         st[i] = (s, tier.smax)
-            pending = [i for i in pending if res[i] is None]
+                    if (s == "scorecap" and max_scores is not None
+                            and max_scores[i] is not None
+                            and max_scores[i] <= tier.smax):
+                        # score > cap proven — no deeper tier can help
+                        refuted.add(i)
+                pending = [i for i in pending
+                           if res[i] is None and i not in refuted]
+            else:
+                pending = [i for i in pending if res[i] is None]
         if status is not None:
             status[:] = st
+        if uncertified is not None:
+            uncertified[:] = unc_all
         return res
