@@ -222,6 +222,11 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     if len(qc) < max(2, len(q) // (4 * lseg)):
         qc, tc = pick_cuts(*find_anchors(qa, ta, 13, max_occ=4), 13,
                            seg_target, lseg - 1, half)
+    if len(qc) < max(2, len(q) // (8 * lseg)):
+        # 25-40% divergent regions rarely share rare 13-mers; exact
+        # 11-mers still land every ~50 bp there and cuts stay exact
+        qc, tc = pick_cuts(*find_anchors(qa, ta, 11, max_occ=8), 11,
+                           seg_target, lseg - 1, half)
     if len(qc) < 2:
         return None
     bounds_q = [0] + qc + [len(q)]
@@ -238,6 +243,10 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
         if big and sq1 - sq0 >= 64 and st1 - st0 >= 64:
             sp, tp2 = find_anchors(qa[sq0:sq1], ta[st0:st1], 13, max_occ=4)
             sqc, stc = pick_cuts(sp, tp2, 13, 128, lseg - 1, half)
+            if not sqc:
+                sp, tp2 = find_anchors(qa[sq0:sq1], ta[st0:st1], 11,
+                                       max_occ=8)
+                sqc, stc = pick_cuts(sp, tp2, 11, 128, lseg - 1, half)
             rq.extend(c + sq0 for c in sqc)
             rt.extend(c + st0 for c in stc)
         rq.append(sq1)
@@ -291,6 +300,29 @@ def _place_short(short: bytes, long_: bytes, k: int = 13,
     return int(np.clip(np.median(inb), 0, lim))
 
 
+def _diag_ops(q: bytes, t: bytes):
+    """Trivial replayable alignment: per-base =/X along the main
+    diagonal + the length difference as one trailing gap run. Score is
+    within x*min(m,n) of optimal by construction; used only for
+    junk-level pieces (proven score > the deepest tier budget)."""
+    m, n = len(q), len(t)
+    L = min(m, n)
+    ops: list = []
+    if L:
+        eq = np.frombuffer(q, np.uint8)[:L] == np.frombuffer(
+            t, np.uint8)[:L]
+        flip = np.nonzero(np.diff(eq))[0]
+        start = 0
+        for f in list(flip) + [L - 1]:
+            ops.append((int(f) + 1 - start, "=" if eq[start] else "X"))
+            start = int(f) + 1
+    if m > n:
+        ops.append((m - n, "I"))
+    elif n > m:
+        ops.append((n - m, "D"))
+    return ops
+
+
 def _rev_try_host(rq, st, p, budget):
     """Fork-pool worker: score-bounded rev-comp try (pure numpy)."""
     from .wfa_vec import wfa_align as host_wfa
@@ -321,12 +353,17 @@ class SegmentedEngine:
         if hasattr(exact_engine, "seg_solver"):
             exact_engine.seg_solver = self.solver
         # under segmentation the exact path only sees leftovers (oversize
-        # gaps, unanchorable blocks). Pushing the host threshold up keeps
-        # those off the device sweep path, whose per-shape compiles
-        # (30-400 s through the tunnel, re-paid per new shape) dwarf any
-        # host cost at these sizes; the fork pool absorbs them.
+        # gaps, unanchorable blocks). Round 2 pushed the host threshold
+        # to 8000 to avoid sweep-shape compiles; round 3's tiers accept
+        # everything <= ~2 kb on device, so 2-8 kb leftovers now go
+        # through the exact sweep recursion (device) whose own leaves
+        # land back in the tiers — the host only sees what nothing else
+        # can take. WFMASH_TPU_HOST_LEN overrides.
+        import os as _os0
+
         if hasattr(exact_engine, "HOST_LEN"):
-            exact_engine.HOST_LEN = max(exact_engine.HOST_LEN, 8000)
+            exact_engine.HOST_LEN = int(_os0.environ.get(
+                "WFMASH_TPU_HOST_LEN", "1900"))
         self.stats = {"segments": 0, "escalated": 0, "exact_blocks": 0,
                       "inversions": 0, "banded": 0}
         # accept banded (uncertified) piece results for divergent pieces
@@ -483,12 +520,24 @@ class SegmentedEngine:
                     + self.p.gap_cost(abs(len(sq) - len(st))))
 
         unc: list = []
+        seg_stat: list = []
         seg_ops = self.solver.solve(
             [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
             max_scores=[score_ub(sq, st, ef)
                         for _, _, sq, st, ef in seg_jobs],
-            uncertified=unc)
+            uncertified=unc, status=seg_stat)
         perf.add("align.seg_solve_s", _time.monotonic() - _t1)
+        self._escal_census = {}
+        for k, ops in enumerate(seg_ops):
+            if ops is None and (unc[k] is None or not self.banded_pieces):
+                s = seg_stat[k]
+                code = s[0] if isinstance(s, tuple) else s
+                j = seg_jobs[k]
+                sz = 1 << max(6, (max(len(j[2]), len(j[3])) - 1)
+                              .bit_length())
+                key = (code, sz, j[4] is not None)
+                self._escal_census[key] = self._escal_census.get(
+                    key, 0) + 1
         escal_jobs = []
         for k, ((ji, pi, sq, st, ef), ops) in enumerate(
                 zip(seg_jobs, seg_ops)):
@@ -501,6 +550,19 @@ class SegmentedEngine:
                 # per-piece results on demand via WFMASH_TPU_EXACT_PIECES.
                 ops = unc[k]
                 self.stats["banded"] += 1
+            if (ops is None and self.banded_pieces and ef is None
+                    and max(len(sq), len(st)) <= 1024):
+                s = seg_stat[k]
+                if (s[0] if isinstance(s, tuple) else s) == "scorecap":
+                    # junk-level piece: every banded sweep ran out of
+                    # score budget without finding a path within the
+                    # trivial all-mismatch bound — exact alignment of
+                    # near-random sequence would buy a few percent of
+                    # score for seconds of host time. Emit the diagonal
+                    # path instead (replayable; ledgered with the
+                    # banded-piece divergence).
+                    ops = _diag_ops(sq, st)
+                    self.stats["banded"] += 1
             if ops is None:
                 escal_jobs.append((ji, pi, sq, st, ef))
                 self.stats["escalated"] += 1
@@ -604,7 +666,9 @@ class SegmentedEngine:
 
             print(f"[wfmash::align] segmented batch: {n} blocks -> "
                   f"{len(seg_jobs)} segments, {len(escal_jobs)} escalated, "
-                  f"{len(exact_jobs)} exact-path jobs", file=sys.stderr)
+                  f"{len(exact_jobs)} exact-path jobs, "
+                  f"{self.stats['banded']} banded; escal census: "
+                  f"{sorted(self._escal_census.items())}", file=sys.stderr)
 
         results = []
         for ji in range(n):

@@ -492,7 +492,7 @@ class JaxWfaEngine:
         # one-by-one on the host (bit-identical results). Installed
         # lazily, or injected by SegmentedEngine to share compiles.
         self.seg_solver = None
-        self.seg_min_batch = 24
+        self.seg_min_batch = 4
         # host-leaf fork pool width (set from -t by make_engine); child
         # processes run pure-numpy wfa_align only — no device access
         self.threads = 1

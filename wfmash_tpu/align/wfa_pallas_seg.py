@@ -785,7 +785,7 @@ class TieredSegmentSolver:
         # 13-mer chain at 25-40% divergence) sweep to smax=1536 in a
         # narrow band; ~63 MiB of history
         self.t5 = SegmentSolver(penalties, interpret, PB=16, K=256,
-                                smax=1536, lseg=1024, groups=32,
+                                smax=2048, lseg=1024, groups=32,
                                 mesh=mesh)
         self.tiers = (self.t1, self.t2, self.t3, self.t4, self.t5)
         self.lseg = self.t4.lseg
