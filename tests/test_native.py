@@ -106,3 +106,46 @@ def test_native_l1l2_bit_identical():
                [(m.seq_id, m.mean_optimal_pos, m.optimal_start,
                  m.optimal_end, m.shared_sketch_size, m.strand)
                 for m in l2p]
+
+
+def test_native_lis_chain_bit_identical():
+    """Native LIS vs the Python patience-sort spec, including ties."""
+    import numpy as np
+
+    from wfmash_tpu.align import segmented as S
+    from wfmash_tpu.native import lis_chain_native
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(1, 500))
+        qpos = np.sort(rng.integers(0, 1000, n).astype(np.int64))
+        tpos = rng.integers(0, 1000, n).astype(np.int64)
+        order = np.lexsort((tpos, qpos))
+        t = tpos[order]
+        got = lis_chain_native(t)
+        if got is None:
+            import pytest
+
+            pytest.skip("native anchors unavailable")
+        # python reference on the same sorted order
+        tails, tails_idx = [], []
+        parent = np.full(n, -1, np.int64)
+        import bisect
+
+        for i in range(n):
+            j = bisect.bisect_left(tails, t[i])
+            if j > 0:
+                parent[i] = tails_idx[j - 1]
+            if j == len(tails):
+                tails.append(t[i])
+                tails_idx.append(i)
+            else:
+                tails[j] = t[i]
+                tails_idx[j] = i
+        ref = []
+        i = tails_idx[-1]
+        while i >= 0:
+            ref.append(i)
+            i = parent[i]
+        ref.reverse()
+        assert list(got) == ref, trial

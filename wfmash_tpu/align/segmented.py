@@ -76,12 +76,18 @@ def _unique_positions(codes: np.ndarray, valid: np.ndarray):
 
 def _lis_chain(qpos: np.ndarray, tpos: np.ndarray):
     """Longest strictly-increasing chain of (qpos asc, tpos) anchors
-    (patience sorting, O(n log n)); returns kept indices."""
+    (patience sorting, O(n log n)); returns kept indices. Native C++
+    fast path (bit-identical, tested); Python fallback below."""
     n = len(qpos)
     if n == 0:
         return np.empty(0, np.int64)
     order = np.lexsort((tpos, qpos))
     t = tpos[order]
+    from ..native import lis_chain_native
+
+    kept = lis_chain_native(t)
+    if kept is not None:
+        return order[kept]
     tails = []          # smallest tail tpos per chain length
     tails_idx = []
     parent = np.full(n, -1, np.int64)
@@ -373,6 +379,8 @@ class SegmentedEngine:
 
         self.banded_pieces = _os.environ.get(
             "WFMASH_TPU_EXACT_PIECES", "0") != "1"
+        if hasattr(exact_engine, "banded_leaves"):
+            exact_engine.banded_leaves = self.banded_pieces
         self.threads = getattr(exact_engine, "threads", 1)
         self.min_inversion_length = 23   # align_parameters.hpp:70
         # strict-parity mode skips the rev-comp inversion try entirely
@@ -544,14 +552,19 @@ class SegmentedEngine:
             if ops is None and unc[k] is not None and self.banded_pieces:
                 # band-edge contact above the certificate on a divergent
                 # piece: the banded CIGAR is replayable and score-valid,
-                # just not provably optimal. Accepting it (the default)
-                # is the same trade wfmash's historical wflambda default
-                # made with WFmash-heuristic wavefront pruning — exact
-                # per-piece results on demand via WFMASH_TPU_EXACT_PIECES.
-                ops = unc[k]
-                self.stats["banded"] += 1
+                # just not provably optimal. Accept it ONLY when the
+                # score is within 3x the certificate bound — far above
+                # it means the true path left the band entirely (repeat
+                # diagonal shifts produce garbage all-indel in-band
+                # paths); those escalate to the exact engine. Same trade
+                # wfmash's historical wflambda + WFmash pruning made;
+                # WFMASH_TPU_EXACT_PIECES=1 forces exact escalation.
+                u_ops, u_score, u_cert = unc[k]
+                if u_score < 3 * max(u_cert, 1):
+                    ops = u_ops
+                    self.stats["banded"] += 1
             if (ops is None and self.banded_pieces and ef is None
-                    and max(len(sq), len(st)) <= 1024):
+                    and max(len(sq), len(st)) <= 2047):
                 s = seg_stat[k]
                 if (s[0] if isinstance(s, tuple) else s) == "scorecap":
                     # junk-level piece: every banded sweep ran out of
@@ -606,8 +619,10 @@ class SegmentedEngine:
             if self.banded_pieces:
                 for k in range(len(got_m)):
                     if got_m[k] is None and unc_m[k] is not None:
-                        got_m[k] = unc_m[k]
-                        self.stats["banded"] += 1
+                        u_ops, u_score, u_cert = unc_m[k]
+                        if u_score < 3 * max(u_cert, 1):
+                            got_m[k] = u_ops
+                            self.stats["banded"] += 1
             host_mid = [k for k, o in enumerate(got_m) if o is None]
             if host_mid:
                 try:
@@ -654,6 +669,11 @@ class SegmentedEngine:
                 ops = pieces[pi] if pieces is not None else None
                 if ops is None:
                     continue
+                # candidate bar: forward score >= a quarter of the
+                # all-mismatch bill. An inverted region's cheapest
+                # forward treatment is skipping it with two gap runs
+                # (~2*gap_cost(len) ~ 2 per base with e2=1), so the bar
+                # must sit below that, not near the mismatch bill.
                 bill = self.p.mismatch * min(len(sq), len(st))
                 if 4 * _sc(ops, self.p) >= bill:
                     div_cands.append((ji, pi, sq, st, ef))
@@ -674,6 +694,14 @@ class SegmentedEngine:
         for ji in range(n):
             pieces = plans[ji]
             if pieces is None or any(p is None for p in pieces):
+                import sys as _sys
+
+                holes = ([] if pieces is None else
+                         [pi for pi, p in enumerate(pieces) if p is None])
+                print(f"[wfmash::align] WARNING: block {ji} "
+                      f"(q={len(jobs[ji][0])} t={len(jobs[ji][1])}) "
+                      f"unresolved: plan={'none' if pieces is None else len(pieces)} "
+                      f"holes={holes[:8]}", file=_sys.stderr)
                 results.append(None)
                 continue
             ops: list = []
@@ -702,6 +730,9 @@ class SegmentedEngine:
             cands.append((ji, pi, sq, st))
         if not cands:
             return
+        from ..utils import perf
+
+        perf.add("align.inv_candidates", len(cands))
         rev_jobs = [(bytes(reverse_complement(bytearray(sq))), st)
                     for _, _, sq, st in cands]
         # certify=False: a banded rev-comp CIGAR within budget is a real

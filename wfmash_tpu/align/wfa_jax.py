@@ -493,6 +493,11 @@ class JaxWfaEngine:
         # lazily, or injected by SegmentedEngine to share compiles.
         self.seg_solver = None
         self.seg_min_batch = 4
+        # opt-in (set by SegmentedEngine to its banded_pieces policy):
+        # accept banded/diagonal leaf results instead of host WFA for
+        # leaves the segment tiers cannot certify. Default False — this
+        # engine's standalone contract is exactness.
+        self.banded_leaves = False
         # host-leaf fork pool width (set from -t by make_engine); child
         # processes run pure-numpy wfa_align only — no device access
         self.threads = 1
@@ -627,12 +632,27 @@ class JaxWfaEngine:
             elig = [k for k, (_, _, q, t, ef) in enumerate(deferred)
                     if q and t and seg.accepts(len(q), len(t), ef)]
             if len(elig) >= self.seg_min_batch:
+                unc: list = []
+                stat: list = []
                 got = seg.solve(
                     [(deferred[k][2], deferred[k][3], deferred[k][4])
-                     for k in elig])
-                for k, ops in zip(elig, got):
+                     for k in elig], uncertified=unc, status=stat)
+                for j, (k, ops) in enumerate(zip(elig, got)):
+                    i, order, q, t, ef = deferred[k]
+                    if ops is None and self.banded_leaves:
+                        # same ledgered policy as the segmented engine:
+                        # mildly-banded CIGAR (score < 3x certificate),
+                        # or the diagonal path for junk-level leaves
+                        if unc[j] is not None and                                 unc[j][1] < 3 * max(unc[j][2], 1):
+                            ops = unc[j][0]
+                        elif (ef is None and max(len(q), len(t)) <= 2047):
+                            s = stat[j]
+                            code = s[0] if isinstance(s, tuple) else s
+                            if code == "scorecap":
+                                from .segmented import _diag_ops
+
+                                ops = _diag_ops(q, t)
                     if ops is not None:
-                        i, order, _, _, _ = deferred[k]
                         results[i][order] = ops
                         solved[k] = True
         rest = [k for k in range(len(deferred)) if not solved[k]]

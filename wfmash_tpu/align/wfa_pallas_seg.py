@@ -742,7 +742,11 @@ class SegmentSolver:
                 # the seed/accept hull was truncated to fit the band.
                 if score >= int(cert_b[j]):
                     st[i] = "uncert"
-                    unc[i] = ops       # banded result, caller's choice
+                    # banded result, caller's choice: (ops, banded
+                    # score, certificate bound) — a score far above the
+                    # bound signals an out-of-band true path (e.g. a
+                    # repeat-period diagonal shift), not mild banding
+                    unc[i] = (ops, score, int(cert_b[j]))
                     continue
             st[i] = "ok"
             results[i] = ops
@@ -785,7 +789,7 @@ class TieredSegmentSolver:
         # 13-mer chain at 25-40% divergence) sweep to smax=1536 in a
         # narrow band; ~63 MiB of history
         self.t5 = SegmentSolver(penalties, interpret, PB=16, K=256,
-                                smax=2048, lseg=1024, groups=32,
+                                smax=2048, lseg=2048, groups=32,
                                 mesh=mesh)
         self.tiers = (self.t1, self.t2, self.t3, self.t4, self.t5)
         self.lseg = self.t4.lseg

@@ -89,7 +89,9 @@ class DeviceL2:
     """Batched device walk over L1 candidates. Fixed call shapes
     (BATCH x E_CAP x (S_CAP+1)); rows that overflow fall back to host."""
 
-    BATCH = 64
+    # batch 256 keeps the per-call tunnel overhead (~100 ms) amortized
+    # over 4x more candidates than the initial 64 (VMEM/HBM fit fine)
+    BATCH = 256
     E_CAP = 768
     S_CAP = 256
 

@@ -223,3 +223,55 @@ def l2_walk_native(soa, cand_seq, range_start, range_end,
         return None
     r = out[:m * 6].reshape(m, 6)
     return [tuple(int(v) for v in row) for row in r]
+
+
+# ---------------------------------------------------------------------------
+# Native anchor helpers (anchors.cpp) — bit-identical to
+# align/segmented.py::_lis_chain (tested)
+# ---------------------------------------------------------------------------
+
+_SRC3 = _DIR / "anchors.cpp"
+_LIB3 = _DIR / "_anchors.so"
+_lib3 = None
+_tried3 = False
+
+
+def get_anchors_lib():
+    global _lib3, _tried3
+    if _lib3 is not None or _tried3:
+        return _lib3
+    _tried3 = True
+    if not _LIB3.exists() or _LIB3.stat().st_mtime < _SRC3.stat().st_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(_SRC3), "-o", str(_LIB3)],
+                check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"[wfmash-tpu] native anchors build failed ({e}); "
+                  "using Python fallback", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB3))
+        lib.lis_chain.restype = ctypes.c_int64
+        lib.lis_chain.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib3 = lib
+    except OSError:
+        _lib3 = None
+    return _lib3
+
+
+def lis_chain_native(tpos_sorted: np.ndarray):
+    """tpos of anchors pre-lexsorted by (qpos, tpos); returns kept
+    indices into the sorted order, or None (Python fallback)."""
+    lib = get_anchors_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(tpos_sorted, np.int64)
+    out = np.empty(len(t), np.int64)
+    m = lib.lis_chain(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(t), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:m]
