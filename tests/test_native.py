@@ -149,3 +149,63 @@ def test_native_lis_chain_bit_identical():
             i = parent[i]
         ref.reverse()
         assert list(got) == ref, trial
+
+
+def test_native_wfa_bit_identical():
+    """Native C++ WFA (native/wfa.cpp) vs the vectorized Python spec
+    (wfa_vec.wfa_align_py): exact (score, ops) equality over random
+    end-to-end, ends-free, and score-capped problems."""
+    import random
+
+    import pytest
+
+    from wfmash_tpu.align.wfa_np import EndsFree, Penalties
+    from wfmash_tpu.align.wfa_vec import wfa_align_py
+    from wfmash_tpu.native import wfa_align_ops_native
+
+    p = Penalties(5, 8, 2, 24, 1)
+    rng = random.Random(11)
+    bases = b"ACGT"
+
+    def mutate(s, div, indel):
+        out = bytearray()
+        for ch in s:
+            r = rng.random()
+            if r < indel:
+                if rng.random() < 0.5:
+                    out.append(rng.choice(bases))
+                    out.append(ch)
+            elif r < indel + div:
+                out.append(rng.choice(bases))
+            else:
+                out.append(ch)
+        return bytes(out)
+
+    if wfa_align_ops_native(b"A", b"A", p) is NotImplemented:
+        pytest.skip("native wfa unavailable")
+
+    cases = [(b"", b""), (b"", b"ACGT"), (b"ACGT", b""), (b"A", b"C")]
+    for q, t in cases:
+        for ef in (None,
+                   EndsFree(target_begin=len(t), query_begin=len(q)),
+                   EndsFree(target_end=len(t), query_end=len(q))):
+            assert wfa_align_ops_native(q, t, p, ef) == \
+                wfa_align_py(q, t, p, ef)
+
+    for trial in range(120):
+        L = rng.randrange(0, 300)
+        t = bytes(rng.choice(bases) for _ in range(L))
+        q = mutate(t, rng.random() * 0.4, rng.random() * 0.1)
+        ef = None
+        if trial % 3 == 1:
+            ef = EndsFree(target_begin=rng.randrange(0, L + 1),
+                          query_begin=rng.randrange(0, len(q) + 1))
+        elif trial % 3 == 2:
+            ef = EndsFree(target_end=rng.randrange(0, L + 1),
+                          query_end=rng.randrange(0, len(q) + 1),
+                          target_begin=rng.randrange(0, 3),
+                          query_begin=rng.randrange(0, 3))
+        ms = rng.randrange(1, 400) if trial % 5 == 0 else None
+        got = wfa_align_ops_native(q, t, p, ef, ms)
+        want = wfa_align_py(q, t, p, ef, ms)
+        assert got == want, (trial, len(q), L, ef, ms)

@@ -67,6 +67,19 @@ def _get_scalar(hist, s, name, k):
 def wfa_align(query: bytes, target: bytes, p: Penalties,
               ends_free: EndsFree | None = None,
               max_score: int | None = None):
+    """Exact WFA: native C++ fast path (bit-identical, tested), Python
+    fallback below (`wfa_align_py`, the vectorized spec twin)."""
+    from ..native import wfa_align_ops_native
+
+    got = wfa_align_ops_native(query, target, p, ends_free, max_score)
+    if got is not NotImplemented:
+        return got
+    return wfa_align_py(query, target, p, ends_free, max_score)
+
+
+def wfa_align_py(query: bytes, target: bytes, p: Penalties,
+                 ends_free: EndsFree | None = None,
+                 max_score: int | None = None):
     m, n = len(query), len(target)
     ef = ends_free or EndsFree()
     if m == 0 and n == 0:

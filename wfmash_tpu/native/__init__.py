@@ -275,3 +275,85 @@ def lis_chain_native(tpos_sorted: np.ndarray):
         t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(t), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Native host WFA (wfa.cpp) — bit-identical to align/wfa_vec.py (tested)
+# ---------------------------------------------------------------------------
+
+_SRC4 = _DIR / "wfa.cpp"
+_LIB4 = _DIR / "_wfa.so"
+_lib4 = None
+_tried4 = False
+
+
+def get_wfa_lib():
+    global _lib4, _tried4
+    if _lib4 is not None or _tried4:
+        return _lib4
+    _tried4 = True
+    if os.environ.get("WFMASH_TPU_NO_NATIVE"):
+        return None
+    if not _LIB4.exists() or _LIB4.stat().st_mtime < _SRC4.stat().st_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(_SRC4), "-o", str(_LIB4)],
+                check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"[wfmash-tpu] native wfa build failed ({e}); "
+                  "using Python fallback", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB4))
+        lib.wfa_align_native.restype = ctypes.c_int64
+        lib.wfa_align_native.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib4 = lib
+    except OSError:
+        _lib4 = None
+    return _lib4
+
+
+def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,
+                         max_score=None):
+    """Native exact WFA. Returns (score, ops), (None, None) when
+    max_score is exceeded, or NotImplemented when the native library is
+    unavailable (caller falls back to the Python path). Raises
+    RuntimeError on convergence failure (same contract as wfa_vec)."""
+    lib = get_wfa_lib()
+    if lib is None:
+        return NotImplemented
+    m, n = len(query), len(target)
+    tb = te = qb = qe = 0
+    if ends_free is not None:
+        tb, te = ends_free.target_begin, ends_free.target_end
+        qb, qe = ends_free.query_begin, ends_free.query_end
+    cap = m + n + 64
+    out = np.empty(cap, np.int64)
+    score = ctypes.c_int64(0)
+    r = lib.wfa_align_native(
+        bytes(query), m, bytes(target), n,
+        p.mismatch, p.gap_opening1, p.gap_extension1,
+        p.gap_opening2, p.gap_extension2,
+        tb, te, qb, qe,
+        -1 if max_score is None else int(max_score),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        ctypes.byref(score))
+    if r == -1:
+        return None, None
+    if r == -2:
+        return NotImplemented          # cap overflow: fall back
+    if r < 0:
+        raise RuntimeError("WFA failed to converge")
+    vals = out[:r]
+    ops = [(int(v) >> 8, chr(int(v) & 0xFF)) for v in vals]
+    return int(score.value), ops

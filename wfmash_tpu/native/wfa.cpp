@@ -1,0 +1,395 @@
+// Native host WFA — gap-affine two-piece wavefront alignment.
+//
+// Bit-identical C++ port of wfmash_tpu/align/wfa_vec.py (itself the
+// vectorized twin of the executable spec wfa_np.py, both DP-oracle
+// verified): same recurrences, same live-range growth, same tie-break
+// priority (X > I1 > I2 > D1 > D2 at M cells; gap-open before
+// gap-extend inside gap states), same ends-free seeding/acceptance
+// (smallest accepting diagonal wins), same RLE emission. The Python
+// implementations remain the spec and the fallback; equality is
+// enforced by tests (tests/test_native.py).
+//
+// This is the host leaf solver of the alignment engine (reference
+// analogue: WFA2-lib's affine2p wavefront aligner, the reference's
+// default via wflign.cpp:136-148). The round-2 profile showed the
+// numpy per-score-level Python loop dominating the align wall; this
+// port removes that constant factor without changing a single op.
+
+#include <cstddef>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t NEG = -(1 << 28);
+
+struct Level {
+    int32_t lo = 0;
+    int32_t n = 0;  // lanes; 0 => level absent entirely
+    int32_t *M = nullptr, *I1 = nullptr, *I2 = nullptr, *D1 = nullptr,
+            *D2 = nullptr;
+};
+
+struct Arena {
+    std::vector<int32_t *> blocks;
+    ~Arena() {
+        for (auto *b : blocks) free(b);
+    }
+    int32_t *alloc_fill(int32_t n, int32_t fill) {
+        int32_t *p = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+        blocks.push_back(p);
+        for (int32_t i = 0; i < n; i++) p[i] = fill;
+        return p;
+    }
+};
+
+struct Getter {
+    const std::vector<Level> &hist;
+    int32_t M(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level, M));
+    }
+    int32_t I1(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level, I1));
+    }
+    int32_t I2(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level, I2));
+    }
+    int32_t D1(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level, D1));
+    }
+    int32_t D2(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level, D2));
+    }
+    int32_t getv(int64_t s, int64_t k, size_t off) const {
+        if (s < 0 || s >= (int64_t)hist.size()) return NEG;
+        const Level &L = hist[(size_t)s];
+        if (L.n == 0) return NEG;
+        const int32_t *a =
+            *(int32_t *const *)((const char *)&L + off);
+        if (!a) return NEG;
+        int64_t idx = k - L.lo;
+        if (idx < 0 || idx >= L.n) return NEG;
+        return a[idx];
+    }
+};
+
+struct Emitter {
+    // RLE built backwards: ops_rev[i] = (count, op); merged on append
+    std::vector<int64_t> counts;
+    std::vector<char> ops;
+    void emit(int64_t nn, char op) {
+        if (nn <= 0) return;
+        if (!ops.empty() && ops.back() == op)
+            counts.back() += nn;
+        else {
+            ops.push_back(op);
+            counts.push_back(nn);
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns: number of RLE ops written to out (packed (count<<8)|op_char),
+// with *out_score set; -1 if max_score exceeded (caller returns
+// (None, None)); -2 if out capacity insufficient (caller falls back);
+// -3 on convergence failure (caller raises, matching wfa_vec).
+int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
+                         int64_t n, int32_t x, int32_t o1, int32_t e1,
+                         int32_t o2, int32_t e2, int64_t tb, int64_t te,
+                         int64_t qb, int64_t qe, int64_t max_score,
+                         int64_t *out, int64_t cap, int64_t *out_score) {
+    if (m == 0 && n == 0) {
+        *out_score = 0;
+        return 0;
+    }
+    Arena arena;
+    std::vector<Level> hist;
+
+    auto extend = [&](int64_t h, int64_t v) -> int64_t {
+        // LCP from (h query, v target); 8-byte fast path
+        int64_t lim = (m - h < n - v) ? m - h : n - v;
+        int64_t r = 0;
+        while (r + 8 <= lim) {
+            uint64_t a, b;
+            memcpy(&a, q + h + r, 8);
+            memcpy(&b, t + v + r, 8);
+            if (a != b) {
+                uint64_t diff = a ^ b;
+#if defined(__GNUC__)
+                r += __builtin_ctzll(diff) >> 3;
+#else
+                while (q[h + r] == t[v + r]) r++;
+#endif
+                return r;
+            }
+            r += 8;
+        }
+        while (r < lim && q[h + r] == t[v + r]) r++;
+        return r;
+    };
+
+    // ---- score-0 seeds --------------------------------------------------
+    int64_t lo0 = -(tb < n ? tb : n);
+    int64_t hi0 = (qb < m ? qb : m);
+    {
+        Level L;
+        L.lo = (int32_t)lo0;
+        L.n = (int32_t)(hi0 - lo0 + 1);
+        L.M = arena.alloc_fill(L.n, NEG);
+        for (int64_t k = lo0; k <= hi0; k++) {
+            int64_t h = k > 0 ? k : 0;
+            int64_t v = h - k;
+            L.M[k - lo0] = (int32_t)(h + extend(h, v));
+        }
+        hist.push_back(L);
+    }
+
+    auto find_end = [&](const Level &L, int64_t *ek, int64_t *eh) -> bool {
+        if (L.n == 0 || !L.M) return false;
+        for (int32_t i = 0; i < L.n; i++) {
+            int64_t h = L.M[i];
+            if (h <= NEG) continue;
+            int64_t k = L.lo + i;
+            int64_t v = h - k;
+            if ((h == m && v >= 0 && v <= n && n - v <= te) ||
+                (v == n && h >= 0 && h <= m && m - h <= qe)) {
+                *ek = k;
+                *eh = h;
+                return true;
+            }
+        }
+        return false;
+    };
+
+    int64_t end_k = 0, end_h = 0;
+    bool done = find_end(hist[0], &end_k, &end_h);
+    int64_t s = 0;
+    int64_t mx1 = x, mx2 = e1 + o1, mx3 = e2 + o2;
+    int64_t mxp = mx1 > mx2 ? mx1 : mx2;
+    if (mx3 > mxp) mxp = mx3;
+    int64_t score_cap = (m + n) * mxp + o1 + o2 + 10;
+
+    while (!done) {
+        s++;
+        if (max_score >= 0 && s > max_score) return -1;
+        if (s > score_cap) return -3;
+
+        // live range from the seven sources
+        int64_t lo = INT64_MAX, hi = INT64_MIN;
+        struct Src {
+            int64_t s;
+            size_t off;
+        } srcs[7] = {
+            {s - x, offsetof(Level, M)},
+            {s - o1 - e1, offsetof(Level, M)},
+            {s - o2 - e2, offsetof(Level, M)},
+            {s - e1, offsetof(Level, I1)},
+            {s - e2, offsetof(Level, I2)},
+            {s - e1, offsetof(Level, D1)},
+            {s - e2, offsetof(Level, D2)},
+        };
+        for (auto &sc : srcs) {
+            if (sc.s < 0 || sc.s >= (int64_t)hist.size()) continue;
+            const Level &L = hist[(size_t)sc.s];
+            if (L.n == 0) continue;
+            const int32_t *a =
+                *(int32_t *const *)((const char *)&L + sc.off);
+            if (!a) continue;
+            if (L.lo < lo) lo = L.lo;
+            if (L.lo + L.n - 1 > hi) hi = L.lo + L.n - 1;
+        }
+        if (lo == INT64_MAX) {
+            hist.push_back(Level{});  // absent level
+            continue;
+        }
+        lo -= 1;
+        hi += 1;
+        int64_t nk = hi - lo + 1;
+
+        Getter g{hist};
+        Level L;
+        L.lo = (int32_t)lo;
+        L.n = (int32_t)nk;
+        // presence mirrors wfa_vec's None-propagation: a state's array
+        // exists iff any of its sources exist
+        bool has_mo1 = false, has_mo2 = false, has_i1e = false,
+             has_i2e = false, has_d1e = false, has_d2e = false,
+             has_mx = false;
+        auto level_has = [&](int64_t ss, size_t off) -> bool {
+            if (ss < 0 || ss >= (int64_t)hist.size()) return false;
+            const Level &P = hist[(size_t)ss];
+            if (P.n == 0) return false;
+            return *(int32_t *const *)((const char *)&P + off) != nullptr;
+        };
+        has_mx = level_has(s - x, offsetof(Level, M));
+        has_mo1 = level_has(s - o1 - e1, offsetof(Level, M));
+        has_mo2 = level_has(s - o2 - e2, offsetof(Level, M));
+        has_i1e = level_has(s - e1, offsetof(Level, I1));
+        has_i2e = level_has(s - e2, offsetof(Level, I2));
+        has_d1e = level_has(s - e1, offsetof(Level, D1));
+        has_d2e = level_has(s - e2, offsetof(Level, D2));
+        bool has_i1 = has_mo1 || has_i1e;
+        bool has_i2 = has_mo2 || has_i2e;
+        bool has_d1 = has_mo1 || has_d1e;
+        bool has_d2 = has_mo2 || has_d2e;
+        bool has_m = has_mx || has_i1 || has_i2 || has_d1 || has_d2;
+        if (has_i1) L.I1 = arena.alloc_fill(L.n, NEG);
+        if (has_i2) L.I2 = arena.alloc_fill(L.n, NEG);
+        if (has_d1) L.D1 = arena.alloc_fill(L.n, NEG);
+        if (has_d2) L.D2 = arena.alloc_fill(L.n, NEG);
+        if (has_m) L.M = arena.alloc_fill(L.n, NEG);
+
+        for (int64_t k = lo; k <= hi; k++) {
+            int64_t i = k - lo;
+            int32_t i1 = NEG, i2 = NEG, d1 = NEG, d2 = NEG;
+            if (has_i1) {
+                int32_t a = g.M(s - o1 - e1, k - 1);
+                int32_t b = g.I1(s - e1, k - 1);
+                int32_t v = a > b ? a : b;
+                if (v > NEG) v += 1;
+                else v = NEG;
+                L.I1[i] = i1 = v;
+            }
+            if (has_i2) {
+                int32_t a = g.M(s - o2 - e2, k - 1);
+                int32_t b = g.I2(s - e2, k - 1);
+                int32_t v = a > b ? a : b;
+                if (v > NEG) v += 1;
+                else v = NEG;
+                L.I2[i] = i2 = v;
+            }
+            if (has_d1) {
+                int32_t a = g.M(s - o1 - e1, k + 1);
+                int32_t b = g.D1(s - e1, k + 1);
+                L.D1[i] = d1 = (a > b ? a : b);
+            }
+            if (has_d2) {
+                int32_t a = g.M(s - o2 - e2, k + 1);
+                int32_t b = g.D2(s - e2, k + 1);
+                L.D2[i] = d2 = (a > b ? a : b);
+            }
+            if (!has_m) continue;
+            int32_t mm = g.M(s - x, k);
+            int32_t best = mm > NEG ? mm + 1 : NEG;
+            if (i1 > best) best = i1;
+            if (i2 > best) best = i2;
+            if (d1 > best) best = d1;
+            if (d2 > best) best = d2;
+            if (best <= NEG) continue;
+            int64_t h = best;
+            int64_t v = h - k;
+            if (h < 0 || h > m || v < 0 || v > n) continue;  // stays NEG
+            L.M[i] = (int32_t)(h + extend(h, v));
+        }
+        hist.push_back(L);
+        done = find_end(hist.back(), &end_k, &end_h);
+    }
+
+    // ---- backtrace (identical rules to wfa_vec._backtrace) -------------
+    Getter g{hist};
+    Emitter em;
+    int64_t k = end_k, h = end_h;
+    int64_t v = h - k;
+    int64_t sc = s;
+    *out_score = s;
+    if (h == m && v < n)
+        em.emit(n - v, 'D');
+    else if (v == n && h < m)
+        em.emit(m - h, 'I');
+
+    int state = 0;  // 0=M 1=I1 2=I2 3=D1 4=D2
+    for (;;) {
+        if (state == 0) {
+            int64_t cur = h;
+            if (s == 0) {
+                int64_t seed_off = k > 0 ? k : 0;
+                em.emit(cur - seed_off, '=');
+                if (k < 0)
+                    em.emit(-k, 'D');
+                else if (k > 0)
+                    em.emit(k, 'I');
+                break;
+            }
+            int32_t mm = g.M(s - x, k);
+            int32_t cx = mm > NEG ? mm + 1 : NEG;
+            int32_t ci1 = g.I1(s, k);
+            int32_t ci2 = g.I2(s, k);
+            int32_t cd1 = g.D1(s, k);
+            int32_t cd2 = g.D2(s, k);
+            int32_t pre = cx;
+            if (ci1 > pre) pre = ci1;
+            if (ci2 > pre) pre = ci2;
+            if (cd1 > pre) pre = cd1;
+            if (cd2 > pre) pre = cd2;
+            em.emit(cur - pre, '=');
+            h = pre;
+            if (cx == pre) {
+                em.emit(1, 'X');
+                s -= x;
+                h -= 1;
+            } else if (ci1 == pre) {
+                state = 1;
+            } else if (ci2 == pre) {
+                state = 2;
+            } else if (cd1 == pre) {
+                state = 3;
+            } else {
+                state = 4;
+            }
+        } else if (state == 1 || state == 2) {
+            int64_t o = state == 1 ? o1 : o2;
+            int64_t e = state == 1 ? e1 : e2;
+            em.emit(1, 'I');
+            int32_t open_ = g.M(s - o - e, k - 1);
+            int32_t ext = state == 1 ? g.I1(s - e, k - 1)
+                                     : g.I2(s - e, k - 1);
+            if (open_ > NEG && open_ + 1 == h) {
+                s -= o + e;
+                h -= 1;
+                k -= 1;
+                state = 0;
+            } else if (ext > NEG && ext + 1 == h) {
+                s -= e;
+                h -= 1;
+                k -= 1;
+            } else {
+                return -3;
+            }
+        } else {
+            int64_t o = state == 3 ? o1 : o2;
+            int64_t e = state == 3 ? e1 : e2;
+            em.emit(1, 'D');
+            int32_t open_ = g.M(s - o - e, k + 1);
+            int32_t ext = state == 3 ? g.D1(s - e, k + 1)
+                                     : g.D2(s - e, k + 1);
+            if (open_ > NEG && open_ == h) {
+                s -= o + e;
+                k += 1;
+                state = 0;
+            } else if (ext > NEG && ext == h) {
+                s -= e;
+                k += 1;
+            } else {
+                return -3;
+            }
+        }
+    }
+
+    int64_t n_ops = (int64_t)em.ops.size();
+    if (n_ops > cap) return -2;
+    // ops were built backwards; reverse into out, packed (count<<8)|op
+    for (int64_t i = 0; i < n_ops; i++) {
+        int64_t j = n_ops - 1 - i;
+        out[i] = (em.counts[(size_t)j] << 8) |
+                 (int64_t)(uint8_t)em.ops[(size_t)j];
+    }
+    (void)sc;
+    return n_ops;
+}
+
+}  // extern "C"
