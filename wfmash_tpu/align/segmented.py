@@ -426,6 +426,14 @@ class SegmentedEngine:
                 if q and t and self.solver.accepts(len(q), len(t), ef):
                     seg_jobs.append((ji, 0, q, t, ef))
                 else:
+                    if not q or not t:
+                        perf.add("align.exact_empty_side", 1)
+                    elif ef is not None:
+                        perf.add("align.exact_ef_reject", 1)
+                        perf.add("align.exact_ef_reject_bp",
+                                 max(len(q), len(t)))
+                    else:
+                        perf.add("align.exact_small_reject", 1)
                     exact_jobs.append((ji, 0, q, t, ef))
                     self.stats["exact_blocks"] += 1
             else:

@@ -555,97 +555,99 @@ class JaxWfaEngine:
                 queue.append(_Sub(i, 0, len(q), 0, len(t), ()))
 
         pallas_sel = self.backend in ("pallas", "pallas-interpret")
-        while queue:
-            batch = queue[: self.batch_size]
-            queue = queue[self.batch_size :]
-            # problems outside the device envelope go straight to the
-            # host solver rather than dragging the whole batch down:
-            # (a) lengths >= 65535 (the pallas kernel packs (v,h)
-            #     anchors into u16 halves),
-            # (b) |m - n| beyond the diagonal span budget (a mapped
-            #     block with a multi-kb copy-number gap — the banded
-            #     sweep cannot reach its final diagonal at any ladder K)
-            keep = []
-            for sub in batch:
-                m_len, n_len = sub.q1 - sub.q0, sub.t1 - sub.t0
-                too_long = (pallas_sel
-                            and max(m_len, n_len) >= 65535)
-                too_skew = 2 * (abs(m_len - n_len) + 16) + 3 > self.MAX_SPAN
-                if too_long or too_skew:
-                    q = seqs[sub.job_id][0][sub.q0:sub.q1].tobytes()
-                    t = seqs[sub.job_id][1][sub.t0:sub.t1].tobytes()
-                    _, ops = wfa_align(q, t, self.p)
-                    self._store(sub, ops)
-                else:
-                    keep.append(sub)
-            batch = keep
-            if not batch:
-                continue
-            splits = self._sweep_batch(batch, seqs)
-            for sub, split in zip(batch, splits):
-                if split is None:
-                    # solved directly (trivial / host fallback)
-                    continue
-                anchor_v, anchor_h, score = split
-                if anchor_v == 0 and anchor_h == 0:
-                    # degenerate anchor (a gap opening at the origin crosses
-                    # the midline) — re-sweep splitting the other axis
-                    m_len = sub.q1 - sub.q0
-                    n_len = sub.t1 - sub.t0
-                    cur_axis = 1 if (
-                        sub.force_axis == 1
-                        or (sub.force_axis == -1 and m_len > n_len)
-                    ) else 0
-                    queue.append(
-                        _Sub(sub.job_id, sub.q0, sub.q1, sub.t0, sub.t1,
-                             sub.order, force_axis=1 - cur_axis)
-                    )
-                    continue
-                qm = sub.q0 + anchor_h
-                tm = sub.t0 + anchor_v
-                for side, (a, b, c, d) in enumerate(
-                    [(sub.q0, qm, sub.t0, tm), (qm, sub.q1, tm, sub.t1)]
-                ):
-                    q_sub = seqs[sub.job_id][0][a:b].tobytes()
-                    t_sub = seqs[sub.job_id][1][c:d].tobytes()
-                    order = sub.order + (side,)
-                    # adaptive leaf rule: host wfa_vec costs roughly
-                    # O(score x span); solve on host when that product is
-                    # small (measured ~17k cell-units/ms), else keep
-                    # splitting on device. score/2 upper-estimates a side.
-                    side_len = max(len(q_sub), len(t_sub))
-                    est = (score // 2 + 1) * side_len
-                    if (side_len <= self.HOST_LEN
-                            or est <= self.HOST_CELLS):
-                        deferred.append(
-                            (sub.job_id, order, q_sub, t_sub, None))
-                    else:
-                        queue.append(
-                            _Sub(sub.job_id, a, b, c, d, order)
-                        )
+        synth: dict[int, tuple[int, tuple]] = {}
 
-        # leaves: device batch through the segment kernel when enough of
-        # them fit its envelope (VERDICT round-1 item #3), host otherwise
-        solved = [False] * len(deferred)
-        seg = self._get_seg_solver() if allow_seg else None
-        if seg is not None:
-            elig = [k for k, (_, _, q, t, ef) in enumerate(deferred)
+        def drain_queue(queue):
+            """Crossing-payload sweep recursion; leaves append to
+            `deferred` (closure)."""
+            while queue:
+                batch = queue[: self.batch_size]
+                queue = queue[self.batch_size :]
+                # problems outside the device envelope go straight to
+                # the host solver rather than dragging the batch down:
+                # (a) lengths >= 65535 (u16-packed anchors),
+                # (b) |m - n| beyond the diagonal span budget
+                keep = []
+                for sub in batch:
+                    m_len, n_len = sub.q1 - sub.q0, sub.t1 - sub.t0
+                    too_long = (pallas_sel
+                                and max(m_len, n_len) >= 65535)
+                    too_skew = 2 * (abs(m_len - n_len) + 16) + 3 \
+                        > self.MAX_SPAN
+                    if too_long or too_skew:
+                        q = seqs[sub.job_id][0][sub.q0:sub.q1].tobytes()
+                        t = seqs[sub.job_id][1][sub.t0:sub.t1].tobytes()
+                        _, ops = wfa_align(q, t, self.p)
+                        self._store(sub, ops)
+                    else:
+                        keep.append(sub)
+                batch = keep
+                if not batch:
+                    continue
+                splits = self._sweep_batch(batch, seqs)
+                for sub, split in zip(batch, splits):
+                    if split is None:
+                        continue       # solved directly
+                    anchor_v, anchor_h, score = split
+                    if anchor_v == 0 and anchor_h == 0:
+                        # degenerate anchor — re-sweep the other axis
+                        m_len = sub.q1 - sub.q0
+                        n_len = sub.t1 - sub.t0
+                        cur_axis = 1 if (
+                            sub.force_axis == 1
+                            or (sub.force_axis == -1 and m_len > n_len)
+                        ) else 0
+                        queue.append(
+                            _Sub(sub.job_id, sub.q0, sub.q1, sub.t0,
+                                 sub.t1, sub.order,
+                                 force_axis=1 - cur_axis)
+                        )
+                        continue
+                    qm = sub.q0 + anchor_h
+                    tm = sub.t0 + anchor_v
+                    for side, (a, b, c, d) in enumerate(
+                        [(sub.q0, qm, sub.t0, tm), (qm, sub.q1, tm, sub.t1)]
+                    ):
+                        q_sub = seqs[sub.job_id][0][a:b].tobytes()
+                        t_sub = seqs[sub.job_id][1][c:d].tobytes()
+                        order = sub.order + (side,)
+                        # adaptive leaf rule: defer when score x span is
+                        # small enough for the leaf solvers
+                        side_len = max(len(q_sub), len(t_sub))
+                        est = (score // 2 + 1) * side_len
+                        if (side_len <= self.HOST_LEN
+                                or est <= self.HOST_CELLS):
+                            deferred.append(
+                                (sub.job_id, order, q_sub, t_sub, None))
+                        else:
+                            queue.append(
+                                _Sub(sub.job_id, a, b, c, d, order)
+                            )
+
+        def seg_pass(entries, seg):
+            """Solve deferred entries on the segment tiers; returns the
+            unsolved remainder."""
+            if seg is None:
+                return list(entries)
+            solved = [False] * len(entries)
+            elig = [k for k, (_, _, q, t, ef) in enumerate(entries)
                     if q and t and seg.accepts(len(q), len(t), ef)]
             if len(elig) >= self.seg_min_batch:
                 unc: list = []
                 stat: list = []
                 got = seg.solve(
-                    [(deferred[k][2], deferred[k][3], deferred[k][4])
+                    [(entries[k][2], entries[k][3], entries[k][4])
                      for k in elig], uncertified=unc, status=stat)
                 for j, (k, ops) in enumerate(zip(elig, got)):
-                    i, order, q, t, ef = deferred[k]
+                    i, order, q, t, ef = entries[k]
                     if ops is None and self.banded_leaves:
                         # same ledgered policy as the segmented engine:
                         # mildly-banded CIGAR (score < 3x certificate),
                         # or the diagonal path for junk-level leaves
-                        if unc[j] is not None and                                 unc[j][1] < 3 * max(unc[j][2], 1):
+                        if unc[j] is not None and \
+                                unc[j][1] < 3 * max(unc[j][2], 1):
                             ops = unc[j][0]
-                        elif (ef is None and max(len(q), len(t)) <= 2047):
+                        elif ef is None and max(len(q), len(t)) <= 2047:
                             s = stat[j]
                             code = s[0] if isinstance(s, tuple) else s
                             if code == "scorecap":
@@ -655,41 +657,97 @@ class JaxWfaEngine:
                     if ops is not None:
                         results[i][order] = ops
                         solved[k] = True
-        rest = [k for k in range(len(deferred)) if not solved[k]]
+            return [e for k, e in enumerate(entries) if not solved[k]]
+
+        drain_queue(queue)
+        seg = self._get_seg_solver() if allow_seg else None
+        pending = deferred
+        for rnd in range(2):
+            unsolved = seg_pass(pending, seg)
+            if rnd == 1 or seg is None or not pallas_sel:
+                pending = unsolved
+                break
+            # leaves the tiers could not settle re-enter the exact sweep
+            # recursion as synthetic jobs: the crossing-payload split
+            # lands ON the true path, so the halves' bands re-center on
+            # the real diagonals (repeat shifts included) and the tiers
+            # finish them exactly — the host only sees what nothing else
+            # can take.
+            requeue, keep = [], []
+            for ent in unsolved:
+                i, order, q, t, ef = ent
+                skew_ok = 2 * (abs(len(q) - len(t)) + 16) + 3 \
+                    <= self.MAX_SPAN
+                if (ef is None and len(q) >= 600 and len(t) >= 600
+                        and max(len(q), len(t)) < 65535 and skew_ok):
+                    sid = len(seqs)
+                    seqs.append((np.frombuffer(q, dtype=np.uint8),
+                                 np.frombuffer(t, dtype=np.uint8)))
+                    results[sid] = {}
+                    synth[sid] = (i, order)
+                    requeue.append(_Sub(sid, 0, len(q), 0, len(t), ()))
+                else:
+                    keep.append(ent)
+            if not requeue:
+                pending = keep
+                break
+            perf_mod = None
+            try:
+                from ..utils import perf as perf_mod
+
+                perf_mod.add("align.resweep_jobs", len(requeue))
+                perf_mod.add("align.resweep_kept", len(keep))
+            except Exception:
+                pass
+            deferred = []
+            drain_queue(requeue)
+            if perf_mod is not None:
+                perf_mod.add("align.resweep_leaves", len(deferred))
+            pending = keep + deferred
+
+        rest_entries = pending
         import time as _time
 
         from ..utils import perf
 
         _t0 = _time.monotonic()
-        n_rest = len(rest)
+        n_rest = len(rest_entries)
         import os as _os
 
         _lg = _os.environ.get("WFMASH_TPU_LEAF_LOG")
-        if _lg and rest:
+        if _lg and rest_entries:
             with open(_lg, "a") as _fh:
-                for k in rest:
-                    _i, _o, q, t, ef = deferred[k]
+                for (_i, _o, q, t, ef) in rest_entries:
                     _fh.write(f"{len(q)}\t{len(t)}\t{ef}\n")
-        if self.threads > 1 and len(rest) >= 8:
+        done_pool = False
+        if self.threads > 1 and len(rest_entries) >= 8:
             from ..utils.hostpool import get_pool
 
             pool = get_pool(self.threads)
             if pool is not None:
                 got = pool.starmap(
                     _host_solve,
-                    [(deferred[k][2], deferred[k][3], deferred[k][4],
-                      self.p) for k in rest],
-                    chunksize=max(1, len(rest) // (4 * self.threads)))
-                for k, ops in zip(rest, got):
-                    i, order, _, _, _ = deferred[k]
+                    [(q, t, ef, self.p)
+                     for (_, _, q, t, ef) in rest_entries],
+                    chunksize=max(1, len(rest_entries) //
+                                  (4 * self.threads)))
+                for (i, order, _, _, _), ops in zip(rest_entries, got):
                     results[i][order] = ops
-                rest = []
-        for k in rest:
-            i, order, q, t, ef = deferred[k]
-            _, ops = wfa_align(q, t, self.p, ef)
-            results[i][order] = ops
+                done_pool = True
+        if not done_pool:
+            for (i, order, q, t, ef) in rest_entries:
+                _, ops = wfa_align(q, t, self.p, ef)
+                results[i][order] = ops
         perf.add("align.host_leaf_s", _time.monotonic() - _t0)
         perf.add("align.host_leaves", n_rest)
+
+        # synthetic sub-jobs assemble back into their parent order slot
+        for sid, (pi, porder) in synth.items():
+            pieces = results.pop(sid)
+            ops = []
+            for order in sorted(pieces):
+                ops = ops + pieces[order]
+            results[pi][porder] = merge_ops(ops)
 
         out = []
         for i in range(len(jobs)):

@@ -46,6 +46,31 @@ def create_target_subsets(idm: SequenceIdManager, target_names: list[str],
 # created; child processes inherit it via fork (copy-on-write index)
 _MP_STATE: dict = {}
 
+_RTT_MS: float | None = None
+
+
+def _device_rtt_ms() -> float:
+    """Median device round-trip latency (ms): a tiny transfer forced to
+    completion. Distinguishes local accelerators (<1 ms) from tunneled
+    ones (hundreds of ms), where per-call overhead changes which mapping
+    backend wins."""
+    global _RTT_MS
+    if _RTT_MS is not None:
+        return _RTT_MS
+    import time
+
+    import jax.numpy as jnp
+
+    x = jnp.zeros(8, jnp.int32)
+    np.asarray(x.sum())             # warm-up / compile
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.asarray((x + 1).sum())
+        samples.append((time.monotonic() - t0) * 1e3)
+    _RTT_MS = sorted(samples)[1]
+    return _RTT_MS
+
 
 def _mp_run_one(qname):
     mapper = _MP_STATE["mapper"]
@@ -313,6 +338,16 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
                 import jax as _jax0
 
                 _dl1 = "1" if _jax0.default_backend() != "cpu" else "0"
+                if _dl1 == "1" and _device_rtt_ms() > 20.0:
+                    # the device path costs ~60 kernel calls per run;
+                    # at tunnel-grade round-trip latency that loses to
+                    # the native host path (measured: 32 s vs 5.7 s on
+                    # LPA through the ~250 ms-RTT axon tunnel). Local
+                    # TPU hosts (<1 ms RTT) keep the device default.
+                    log("[wfmash::mashmap] device round-trip latency "
+                        "too high; using host mapping (override with "
+                        "WFMASH_TPU_DEVICE_L1=1)")
+                    _dl1 = "0"
             except Exception:   # pragma: no cover - no jax
                 _dl1 = "0"
         if _dl1 != "0":
