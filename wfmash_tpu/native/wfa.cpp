@@ -211,7 +211,6 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         hi += 1;
         int64_t nk = hi - lo + 1;
 
-        Getter g{hist};
         Level L;
         L.lo = (int32_t)lo;
         L.n = (int32_t)nk;
@@ -244,47 +243,91 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         if (has_d2) L.D2 = arena.alloc_fill(L.n, NEG);
         if (has_m) L.M = arena.alloc_fill(L.n, NEG);
 
-        for (int64_t k = lo; k <= hi; k++) {
-            int64_t i = k - lo;
-            int32_t i1 = NEG, i2 = NEG, d1 = NEG, d2 = NEG;
-            if (has_i1) {
-                int32_t a = g.M(s - o1 - e1, k - 1);
-                int32_t b = g.I1(s - e1, k - 1);
-                int32_t v = a > b ? a : b;
-                if (v > NEG) v += 1;
-                else v = NEG;
-                L.I1[i] = i1 = v;
+        // range-based vectorizable combines (identical max recurrences;
+        // the old per-k Getter walk cost ~20-40 cycles/cell in bounds
+        // checks — these inner loops auto-vectorize)
+        struct View {
+            const int32_t *p = nullptr;
+            int64_t lo = 0, n = 0;
+        };
+        auto view = [&](int64_t ss, size_t off) -> View {
+            View v;
+            if (ss < 0 || ss >= (int64_t)hist.size()) return v;
+            const Level &P = hist[(size_t)ss];
+            if (P.n == 0) return v;
+            const int32_t *a = *(int32_t *const *)((const char *)&P + off);
+            if (!a) return v;
+            v.p = a;
+            v.lo = P.lo;
+            v.n = P.n;
+            return v;
+        };
+        // dst[i] (diagonal k = lo+i) op= src[k + shift]
+        auto fill_shift = [&](int32_t *dst, View sv, int64_t shift) {
+            if (!sv.p) return;
+            int64_t i0 = sv.lo - shift - lo;
+            int64_t i1_ = sv.lo + sv.n - 1 - shift - lo;
+            if (i0 < 0) i0 = 0;
+            if (i1_ > nk - 1) i1_ = nk - 1;
+            const int32_t *sp = sv.p + (lo + i0 + shift - sv.lo);
+            for (int64_t i = i0; i <= i1_; i++) dst[i] = sp[i - i0];
+        };
+        auto max_shift = [&](int32_t *dst, View sv, int64_t shift) {
+            if (!sv.p) return;
+            int64_t i0 = sv.lo - shift - lo;
+            int64_t i1_ = sv.lo + sv.n - 1 - shift - lo;
+            if (i0 < 0) i0 = 0;
+            if (i1_ > nk - 1) i1_ = nk - 1;
+            const int32_t *sp = sv.p + (lo + i0 + shift - sv.lo);
+            for (int64_t i = i0; i <= i1_; i++) {
+                int32_t v = sp[i - i0];
+                if (v > dst[i]) dst[i] = v;
             }
-            if (has_i2) {
-                int32_t a = g.M(s - o2 - e2, k - 1);
-                int32_t b = g.I2(s - e2, k - 1);
-                int32_t v = a > b ? a : b;
-                if (v > NEG) v += 1;
-                else v = NEG;
-                L.I2[i] = i2 = v;
+        };
+        View vMx = view(s - x, offsetof(Level, M));
+        View vMo1 = view(s - o1 - e1, offsetof(Level, M));
+        View vMo2 = view(s - o2 - e2, offsetof(Level, M));
+        View vI1 = view(s - e1, offsetof(Level, I1));
+        View vI2 = view(s - e2, offsetof(Level, I2));
+        View vD1 = view(s - e1, offsetof(Level, D1));
+        View vD2 = view(s - e2, offsetof(Level, D2));
+        if (has_i1) {
+            fill_shift(L.I1, vMo1, -1);
+            max_shift(L.I1, vI1, -1);
+            for (int64_t i = 0; i < nk; i++)
+                if (L.I1[i] > NEG) L.I1[i] += 1;
+        }
+        if (has_i2) {
+            fill_shift(L.I2, vMo2, -1);
+            max_shift(L.I2, vI2, -1);
+            for (int64_t i = 0; i < nk; i++)
+                if (L.I2[i] > NEG) L.I2[i] += 1;
+        }
+        if (has_d1) {
+            fill_shift(L.D1, vMo1, +1);
+            max_shift(L.D1, vD1, +1);
+        }
+        if (has_d2) {
+            fill_shift(L.D2, vMo2, +1);
+            max_shift(L.D2, vD2, +1);
+        }
+        if (has_m) {
+            int32_t *best = arena.alloc_fill((int32_t)nk, NEG);
+            fill_shift(best, vMx, 0);
+            for (int64_t i = 0; i < nk; i++)
+                if (best[i] > NEG) best[i] += 1;
+            if (L.I1) max_shift(best, View{L.I1, lo, nk}, 0);
+            if (L.I2) max_shift(best, View{L.I2, lo, nk}, 0);
+            if (L.D1) max_shift(best, View{L.D1, lo, nk}, 0);
+            if (L.D2) max_shift(best, View{L.D2, lo, nk}, 0);
+            for (int64_t i = 0; i < nk; i++) {
+                if (best[i] <= NEG) continue;
+                int64_t k = lo + i;
+                int64_t h = best[i];
+                int64_t v = h - k;
+                if (h < 0 || h > m || v < 0 || v > n) continue;  // stays NEG
+                L.M[i] = (int32_t)(h + extend(h, v));
             }
-            if (has_d1) {
-                int32_t a = g.M(s - o1 - e1, k + 1);
-                int32_t b = g.D1(s - e1, k + 1);
-                L.D1[i] = d1 = (a > b ? a : b);
-            }
-            if (has_d2) {
-                int32_t a = g.M(s - o2 - e2, k + 1);
-                int32_t b = g.D2(s - e2, k + 1);
-                L.D2[i] = d2 = (a > b ? a : b);
-            }
-            if (!has_m) continue;
-            int32_t mm = g.M(s - x, k);
-            int32_t best = mm > NEG ? mm + 1 : NEG;
-            if (i1 > best) best = i1;
-            if (i2 > best) best = i2;
-            if (d1 > best) best = d1;
-            if (d2 > best) best = d2;
-            if (best <= NEG) continue;
-            int64_t h = best;
-            int64_t v = h - k;
-            if (h < 0 || h > m || v < 0 || v > n) continue;  // stays NEG
-            L.M[i] = (int32_t)(h + extend(h, v));
         }
         hist.push_back(L);
         done = find_end(hist.back(), &end_k, &end_h);
