@@ -237,15 +237,28 @@ def run_alignment(params: AlignParams, out) -> None:
     # records through taskflow with thread-local readers): sequences are
     # fetched, aligned, written, and dropped one batch at a time, so
     # peak memory is one batch of padded pairs — not the whole run.
+    # Batches are bounded by TOTAL BP, not record count: pooling every
+    # record of a run into one engine batch lets the tiered segment
+    # solver amortize device-dispatch latency across ~all segments of
+    # the run (through the axon tunnel each dispatch costs ~0.3 s
+    # round-trip regardless of size), while multi-GB runs still stream.
+    import os as _os2
+
     n_aligned = 0
-    batch_size = 512
+    batch_bp = int(_os2.environ.get("WFMASH_TPU_ALIGN_BATCH_BP",
+                                    str(256 * 1024 * 1024)))
     meter = ProgressMeter(max(len(rows), 1), "[wfmash::align] aligning")
-    for start in range(0, len(rows), batch_size):
+    start = 0
+    while start < len(rows):
         chunk = []
-        for row in rows[start:start + batch_size]:
+        bp = 0
+        while start < len(rows) and (not chunk or bp < batch_bp):
+            row = rows[start]
+            start += 1
             try:
-                chunk.append(build_job(row, ref_reader, query_reader,
-                                       params))
+                job = build_job(row, ref_reader, query_reader, params)
+                chunk.append(job)
+                bp += job.query_length + job.target_length
             except Exception as e:
                 log(f"[wfmash::align] Error extracting record: {e}")
                 meter.increment(1)
@@ -315,6 +328,14 @@ def run_alignment(params: AlignParams, out) -> None:
 
     meter.finish()
     log(f"[wfmash::align] total aligned records = {n_aligned}")
+    import os as _os
+
+    if _os.environ.get("WFMASH_TPU_PERF"):
+        from ..utils import perf
+
+        snap = perf.snapshot()
+        for k in sorted(snap):
+            log(f"[wfmash::perf] {k} = {snap[k]:.3f}")
 
 
 def write_sam_header(out, ref_reader: FastaReader) -> None:

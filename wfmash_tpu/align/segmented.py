@@ -526,6 +526,13 @@ class SegmentedEngine:
         # job carries its trivial score upper bound (all-mismatch +
         # length-difference gap: no alignment can cost more), so garbage
         # pieces stop sweeping at their bound instead of the tier smax.
+        #
+        # The device passes (segment tiers + placed-middle tiers) run in
+        # a BACKGROUND THREAD while the host exact engine works the
+        # host-routed jobs: each tunnel dispatch is ~0.3 s of IO wait
+        # and the native WFA releases the GIL, so on the single-core VM
+        # the host tail hides inside the device wall instead of
+        # alternating with it (round-2 VERDICT weak #2).
         self.stats["segments"] += len(seg_jobs)
         _t1 = _time.monotonic()
 
@@ -535,13 +542,66 @@ class SegmentedEngine:
             return (self.p.mismatch * min(len(sq), len(st))
                     + self.p.gap_cost(abs(len(sq) - len(st))))
 
+        import threading as _threading
+
         unc: list = []
         seg_stat: list = []
-        seg_ops = self.solver.solve(
-            [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
-            max_scores=[score_ub(sq, st, ef)
-                        for _, _, sq, st, ef in seg_jobs],
-            uncertified=unc, status=seg_stat)
+        seg_ops: list = []
+        got_m: list = []
+        unc_m: list = []
+        _dev_err: list = []
+
+        def _device_phase():
+            try:
+                seg_ops[:] = self.solver.solve(
+                    [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
+                    max_scores=[score_ub(sq, st, ef)
+                                for _, _, sq, st, ef in seg_jobs],
+                    uncertified=unc, status=seg_stat)
+                if placed_jobs:
+                    mids = [(q, t) for _, _, q, t, _, _ in placed_jobs]
+                    got_m[:] = self.solver.solve(
+                        mids,
+                        max_scores=[
+                            self.p.mismatch * min(len(q), len(t))
+                            + self.p.gap_cost(abs(len(q) - len(t)))
+                            for q, t in mids],
+                        uncertified=unc_m)
+            except BaseException as e:  # re-raised on join
+                _dev_err.append(e)
+
+        # exact-engine passes. Escalations already failed the segment
+        # kernel, so the exact engine must not re-try them there
+        # (allow_seg=False); whole-block fallbacks and oversize pieces
+        # may still batch their recursion leaves through it.
+        def run_exact(batch, allow_seg):
+            if not batch:
+                return
+            try:
+                got = self.exact.align_batch(
+                    [(q, t, ef) for _, _, q, t, ef in batch],
+                    allow_seg=allow_seg)
+            except TypeError:      # engines without the keyword
+                got = self.exact.align_batch(
+                    [(q, t, ef) for _, _, q, t, ef in batch])
+            for (ji, pi, _, _, _), ops in zip(batch, got):
+                if plans[ji] is None:
+                    plans[ji] = [ops]          # whole-block result
+                else:
+                    plans[ji][pi] = ops
+
+        _dev_th = _threading.Thread(target=_device_phase,
+                                    name="wfmash-device-phase")
+        _dev_th.start()
+        # host exact pass, concurrent with the device thread
+        _t2 = _time.monotonic()
+        try:
+            run_exact(exact_jobs, True)
+        finally:
+            _exact_s = _time.monotonic() - _t2
+            _dev_th.join()
+        if _dev_err:
+            raise _dev_err[0]
         perf.add("align.seg_solve_s", _time.monotonic() - _t1)
         self._escal_census = {}
         for k, ops in enumerate(seg_ops):
@@ -592,38 +652,12 @@ class SegmentedEngine:
             else:
                 plans[ji][pi] = ops
 
-        # exact-engine passes. Escalations already failed the segment
-        # kernel, so the exact engine must not re-try them there
-        # (allow_seg=False); whole-block fallbacks and oversize pieces
-        # may still batch their recursion leaves through it.
-        def run_exact(batch, allow_seg):
-            if not batch:
-                return
-            try:
-                got = self.exact.align_batch(
-                    [(q, t, ef) for _, _, q, t, ef in batch],
-                    allow_seg=allow_seg)
-            except TypeError:      # engines without the keyword
-                got = self.exact.align_batch(
-                    [(q, t, ef) for _, _, q, t, ef in batch])
-            for (ji, pi, _, _, _), ops in zip(batch, got):
-                if plans[ji] is None:
-                    plans[ji] = [ops]          # whole-block result
-                else:
-                    plans[ji][pi] = ops
-
-        # placed structural-gap middles: solve end-to-end through the
-        # tiers, wrap with the flank gap runs; tier failures solve the
-        # MIDDLE on the host (bounded — never the ends-free monster)
+        # placed structural-gap middles (device results from the
+        # background thread): accept banded, host-solve failures, wrap
+        # with the flank gap runs; tier failures solve the MIDDLE on
+        # the host (bounded — never the ends-free monster)
         if placed_jobs:
             mids = [(q, t) for _, _, q, t, _, _ in placed_jobs]
-            unc_m: list = []
-            got_m = self.solver.solve(
-                mids,
-                max_scores=[self.p.mismatch * min(len(q), len(t))
-                            + self.p.gap_cost(abs(len(q) - len(t)))
-                            for q, t in mids],
-                uncertified=unc_m)
             if self.banded_pieces:
                 for k in range(len(got_m)):
                     if got_m[k] is None and unc_m[k] is not None:
@@ -651,9 +685,9 @@ class SegmentedEngine:
                 plans[ji][pi] = wrapped
 
         _t2 = _time.monotonic()
-        run_exact(exact_jobs, True)
         run_exact(escal_jobs, False)
-        perf.add("align.exact_s", _time.monotonic() - _t2)
+        perf.add("align.exact_s",
+                 _exact_s + (_time.monotonic() - _t2))
         _t3 = _time.monotonic()
         # patch-region inversion try (wflign_patch.cpp:405-538): every
         # divergent piece — escalated segments and oversize inter-anchor
