@@ -209,3 +209,45 @@ def test_native_wfa_bit_identical():
         got = wfa_align_ops_native(q, t, p, ef, ms)
         want = wfa_align_py(q, t, p, ef, ms)
         assert got == want, (trial, len(q), L, ef, ms)
+
+
+def test_canonical_hashes_native_vs_python():
+    """Native batch k-mer hasher is bit-identical to the numpy path
+    (sketch.kmers.canonical_kmer_hashes without the native shortcut)."""
+    import random
+
+    import numpy as np
+
+    from wfmash_tpu.native import canonical_hashes_native
+    from wfmash_tpu.sketch.kmers import (
+        kmer_window_matrix, normalize, reverse_complement, valid_kmer_mask,
+    )
+    from wfmash_tpu.sketch.murmur import murmur3_x64_128_low64
+
+    if canonical_hashes_native(b"ACGTACGTACGTACGTACGT", 15) is None:
+        pytest.skip("native winnow lib unavailable")
+
+    def python_path(seq, k):
+        s = normalize(seq)
+        n = len(s) - k + 1
+        if n <= 0:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                    np.empty(0, np.int8))
+        fwd = murmur3_x64_128_low64(kmer_window_matrix(s, k))
+        rc = reverse_complement(s)
+        bwd = murmur3_x64_128_low64(kmer_window_matrix(rc, k))[::-1]
+        keep = valid_kmer_mask(s, k) & (fwd != bwd)
+        pos = np.nonzero(keep)[0].astype(np.int64)
+        return (pos, np.minimum(fwd[keep], bwd[keep]),
+                np.where(fwd[keep] < bwd[keep], 1, -1).astype(np.int8))
+
+    rng = random.Random(11)
+    for trial in range(40):
+        L = rng.randrange(1, 400)
+        seq = bytes(rng.choice(b"ACGTNacgtnX") for _ in range(L))
+        for k in (5, 15, 19, 21):
+            s = normalize(seq)
+            got = canonical_hashes_native(s.tobytes(), k)
+            want = python_path(seq, k)
+            for g, w in zip(got, want):
+                assert np.array_equal(g, w), (trial, k, L)

@@ -67,12 +67,21 @@ def get_seed_interval_points(
     hashes (mappingCore.hpp:81-131). Returns an ENDPOINT_DTYPE array sorted
     by (seq_id, pos, side)."""
     starts, ends = index.lookup(sketch.hashes)
-    total = int((ends - starts).sum())
+    lens = ends - starts
+    total = int(lens.sum())
     if total == 0:
         return index.endpoints[:0]
-    # gather all ranges
-    chunks = [index.endpoints[s:e] for s, e in zip(starts, ends) if e > s]
-    pts = np.concatenate(chunks)
+    # gather all ranges with one fancy index (a per-range structured
+    # concatenate costs ~36 field promotions per fragment): expand
+    # [s, e) ranges into a flat index vector by cumsum-of-steps
+    nz = lens > 0
+    S = starts[nz].astype(np.int64)
+    L = lens[nz].astype(np.int64)
+    csum = np.cumsum(L)
+    idx = np.ones(total, np.int64)
+    idx[0] = S[0]
+    idx[csum[:-1]] = S[1:] - (S[:-1] + L[:-1] - 1)
+    pts = index.endpoints[np.cumsum(idx)]
 
     # self/group/lower-triangular skip (mappingCore.hpp:109-118)
     tgt_groups = group_of(pts["seq_id"])

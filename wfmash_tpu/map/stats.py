@@ -103,15 +103,25 @@ def compute_sketch_cutoffs(
     y = np.arange(ss + 1)
 
     pdf_cache = {}
+    cdf_cache = {}
 
     def pdf_row(ci):
         if ci not in pdf_cache:
             pdf_cache[ci] = hypergeom.pmf(y, 2 * ss - ci, ss, ci)
         return pdf_cache[ci]
 
+    def cdf_row(ci):
+        # cdf row = cumsum of the pmf row (matches scipy's scalar cdf to
+        # ~1e-15; a scalar hypergeom.cdf costs ~160 us and the binary
+        # search makes thousands of them)
+        if ci not in cdf_cache:
+            cdf_cache[ci] = np.cumsum(pdf_row(ci))
+        return cdf_cache[ci]
+
     def dist_diff(cmax: int, ci: int) -> bool:
         pr_above = 0.0
         pm = pdf_row(cmax)
+        cr = cdf_row(ci)
         for ymax in range(cmax + 1):
             pymax = pm[ymax]
             if ani_diff == 0:
@@ -120,10 +130,9 @@ def compute_sketch_cutoffs(
                 yi_cutoff = math.floor(
                     md2j(j2md(ymax / ss, kmer_size) + ani_diff, kmer_size) * ss
                 )
-            if yi_cutoff - 1 >= 0:
-                pi_acc = float(
-                    hypergeom.cdf(yi_cutoff - 1, 2 * ss - ci, ss, ci)
-                )
+            ki = int(yi_cutoff) - 1
+            if ki >= 0:
+                pi_acc = float(cr[min(ki, ss)])
             else:
                 pi_acc = 0.0
             pr_above += pymax * (1.0 - pi_acc)

@@ -71,8 +71,36 @@ def get_lib():
         ctypes.c_int, ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.free_records.argtypes = [ctypes.c_void_p]
+    lib.canonical_hashes.restype = ctypes.c_int64
+    lib.canonical_hashes.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
+
+
+def canonical_hashes_native(seq: bytes, k: int):
+    """Batch canonical k-mer hashing (murmur3 low-64, min(fwd, revcomp)).
+
+    Returns (pos, canon, vote) filtered to sketch-valid k-mers —
+    identical to sketch.kmers.canonical_kmer_hashes — or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = max(0, len(seq) - k + 1)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.empty(0, np.int8))
+    canon = np.empty(n, np.uint64)
+    vote = np.empty(n, np.int8)
+    vs = np.empty(n, np.uint8)
+    vw = np.empty(n, np.uint8)
+    lib.canonical_hashes(bytes(seq), len(seq), k, canon.ctypes.data,
+                         vote.ctypes.data, vs.ctypes.data, vw.ctypes.data)
+    pos = np.nonzero(vs)[0].astype(np.int64)
+    return pos, canon[pos], vote[pos]
 
 
 def winnow_minmers_native(seq: bytes, k: int, window_size: int,
@@ -134,32 +162,33 @@ def get_l1l2_lib():
         lib = ctypes.CDLL(str(_LIB2))
     except OSError:
         return None
-    i64p = ctypes.POINTER(ctypes.c_int64)
+    # pointer args are declared c_void_p and passed as raw addresses
+    # (ndarray.ctypes.data): data_as()/cast() cost ~3 us per pointer and
+    # the L1/L2 hot path makes ~10 pointer args per native call
+    vp = ctypes.c_void_p
     lib.l1_sweep.restype = ctypes.c_int64
     lib.l1_sweep.argtypes = [
-        i64p, i64p, ctypes.POINTER(ctypes.c_int8),
-        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        vp, vp, vp, vp, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, ctypes.c_double,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        i64p, i64p, i64p, i64p, ctypes.c_int64,
+        vp, ctypes.c_int64,
+        vp, vp, vp, vp, ctypes.c_int64,
     ]
     lib.l2_walk.restype = ctypes.c_int64
     lib.l2_walk.argtypes = [
-        ctypes.POINTER(ctypes.c_uint64), i64p, i64p,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        vp, vp, vp, vp, vp,
         ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int8),
+        vp, vp,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        i64p, ctypes.c_int64,
+        vp, ctypes.c_int64,
     ]
     _lib2 = lib
     return _lib2
 
 
-def _ptr(a, ct):
-    return a.ctypes.data_as(ctypes.POINTER(ct))
+def _ptr(a, ct=None):
+    return a.ctypes.data
 
 
 def l1_sweep_native(pos, seq, side, hashes, window_len, minimum_hits,

@@ -83,6 +83,12 @@ def canonical_kmer_hashes(seq, k: int):
             np.empty(0, dtype=np.uint64),
             np.empty(0, dtype=np.int8),
         )
+    # native batch hasher (bit-identical; tests cross-check both paths)
+    from ..native import canonical_hashes_native
+
+    nat = canonical_hashes_native(s.tobytes(), k)
+    if nat is not None:
+        return nat
     fwd = murmur3_x64_128_low64(kmer_window_matrix(s, k))
     rc = reverse_complement(s)
     # revcomp of k-mer at i == k-mer of rc at (len - i - k); hashing rc's
