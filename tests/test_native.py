@@ -251,3 +251,69 @@ def test_canonical_hashes_native_vs_python():
             want = python_path(seq, k)
             for g, w in zip(got, want):
                 assert np.array_equal(g, w), (trial, k, L)
+
+
+def test_find_anchors_native_vs_python():
+    """Native anchor-chain planning is bit-identical to the numpy path
+    (segmented.find_anchors without the native shortcut)."""
+    import numpy as np
+
+    import wfmash_tpu.align.segmented as S
+    from wfmash_tpu.native import find_anchors_native
+
+    if find_anchors_native(b"ACGT" * 20, b"ACGT" * 20, 21, 1, 1000) is None:
+        pytest.skip("native anchors lib unavailable")
+
+    def py_find_anchors(q, t, k, max_occ=1, max_pairs=200_000):
+        qc, qv = S._kmer_codes(q, k)
+        tc, tv = S._kmer_codes(t, k)
+        if max_occ <= 1:
+            return S._match_chain(qc, qv, tc, tv)
+        cq, pq = S._rare_positions(qc, qv, max_occ)
+        ct, pt = S._rare_positions(tc, tv, max_occ)
+        if len(cq) == 0 or len(ct) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        tmap, prev = {}, None
+        for c, p in zip(ct.tolist(), pt.tolist()):
+            if c != prev:
+                tmap[c] = [p]
+                prev = c
+            else:
+                tmap[c].append(p)
+        qs, ts = [], []
+        for c, p in zip(cq.tolist(), pq.tolist()):
+            hits = tmap.get(c)
+            if hits:
+                for tp in hits:
+                    qs.append(p)
+                    ts.append(tp)
+                if len(qs) > max_pairs:
+                    break
+        qpos = np.asarray(qs, np.int64)
+        tpos = np.asarray(ts, np.int64)
+        keep = S._lis_chain(qpos, tpos)
+        qpos, tpos = qpos[keep], tpos[keep]
+        if len(qpos) > 1:
+            mono = np.concatenate(([True], np.diff(qpos) > 0))
+            qpos, tpos = qpos[mono], tpos[mono]
+        return qpos, tpos
+
+    rng = np.random.default_rng(13)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(40):
+        L = int(rng.integers(30, 1500))
+        t = lut[rng.integers(0, 4, L)]
+        q = t.copy()
+        mut = rng.random(L) < rng.random() * 0.3
+        q[mut] = lut[rng.integers(0, 4, int(mut.sum()))]
+        if trial % 4 == 0:
+            q[rng.integers(0, L, 5)] = ord("N")
+        if trial % 3 == 0:
+            cut = int(rng.integers(0, L))
+            q = np.concatenate([q[:cut], q[cut + int(rng.integers(0, 40)):]])
+        mp = 37 if trial % 5 == 0 else 200_000
+        for (k, mo) in ((21, 1), (13, 4), (11, 8)):
+            a = find_anchors_native(q.tobytes(), t.tobytes(), k, mo, mp)
+            b = py_find_anchors(q, t, k, mo, mp)
+            assert np.array_equal(a[0], b[0]), (trial, k, mo)
+            assert np.array_equal(a[1], b[1]), (trial, k, mo)

@@ -64,7 +64,10 @@ def _unique_positions(codes: np.ndarray, valid: np.ndarray):
     sorted by code."""
     pos = np.nonzero(valid)[0]
     c = codes[pos]
-    order = np.argsort(c, kind="stable")
+    # unstable sort is fine: only count-1 codes survive, so the order
+    # within equal-code groups never reaches the output (stable radix
+    # argsort on u64 costs ~5x an introsort)
+    order = np.argsort(c)
     c, pos = c[order], pos[order]
     if len(c) == 0:
         return c, pos
@@ -136,6 +139,12 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K,
     side, cartesian-paired) — the LIS chain then selects the colinear
     subset; needed for repeat-dense loci where unique k-mers are rare.
     """
+    from ..native import find_anchors_native
+
+    nat = find_anchors_native(q.tobytes(), t.tobytes(), k, max_occ,
+                              max_pairs)
+    if nat is not None:
+        return nat
     qc, qv = _kmer_codes(q, k)
     tc, tv = _kmer_codes(t, k)
     if max_occ <= 1:
@@ -196,14 +205,25 @@ def pick_cuts(qpos: np.ndarray, tpos: np.ndarray, k: int,
     envelope where possible. Returns (qcuts, tcuts) arrays."""
     qc, tc = [], []
     mid = k // 2
+    n = len(qpos)
+    # both arrays are strictly increasing (LIS + monotonicity filter),
+    # so the greedy "skip while below threshold" scan can jump straight
+    # to the first admissible anchor with searchsorted — the per-anchor
+    # Python loop was the planning phase's hottest spot (~7 s per LPA
+    # all-vs-all run)
     last_q = last_t = -(1 << 30)
-    for qp, tp in zip(qpos, tpos):
-        cq_, ct_ = int(qp) + mid, int(tp) + mid
+    i = 0
+    while i < n:
+        cq_, ct_ = int(qpos[i]) + mid, int(tpos[i]) + mid
         if cq_ - last_q < seg_target or ct_ - last_t < seg_target:
+            j1 = np.searchsorted(qpos, last_q + seg_target - mid)
+            j2 = np.searchsorted(tpos, last_t + seg_target - mid)
+            i = max(int(j1), int(j2), i + 1)
             continue
         qc.append(cq_)
         tc.append(ct_)
         last_q, last_t = cq_, ct_
+        i += 1
     return qc, tc
 
 

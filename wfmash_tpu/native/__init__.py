@@ -286,10 +286,36 @@ def get_anchors_lib():
         lib.lis_chain.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.find_anchors_native.restype = ctypes.c_int64
+        lib.find_anchors_native.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib3 = lib
     except OSError:
         _lib3 = None
     return _lib3
+
+
+def find_anchors_native(q: bytes, t: bytes, k: int, max_occ: int,
+                        max_pairs: int):
+    """Full anchor-chain planning for one block (codes + unique/rare
+    matching + LIS + monotone filter); bit-identical to
+    align.segmented.find_anchors (tested). Returns (qpos, tpos) int64
+    arrays, or None when the native library is unavailable."""
+    lib = get_anchors_lib()
+    if lib is None:
+        return None
+    cap = max(16, len(q))
+    oq = np.empty(cap, np.int64)
+    ot = np.empty(cap, np.int64)
+    m = lib.find_anchors_native(bytes(q), len(q), bytes(t), len(t),
+                                k, max_occ, max_pairs,
+                                oq.ctypes.data, ot.ctypes.data, cap)
+    if m < 0:
+        return None
+    return oq[:m].copy(), ot[:m].copy()
 
 
 def lis_chain_native(tpos_sorted: np.ndarray):

@@ -48,4 +48,101 @@ int64_t lis_chain(const int64_t* tpos, int64_t n, int64_t* out) {
     return m;
 }
 
+// find_anchors: the full anchor-chain planning kernel for one block
+// (segmented.py::find_anchors is the Python spec — bit-identical
+// selection: 2-bit rolling k-mer codes, unique (max_occ=1) or rare
+// (count <= max_occ, cartesian-paired, max_pairs cutoff after each
+// query k-mer's hits) matching, (qpos, tpos) lexsort, strict-LIS on
+// tpos, then the strict-monotone qpos filter).
+// Returns the number of anchors written to out_q/out_t (cap slots each),
+// or -1 on overflow (caller falls back to the Python path).
+int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
+                            const uint8_t* t, int64_t tlen,
+                            int k, int max_occ, int64_t max_pairs,
+                            int64_t* out_q, int64_t* out_t, int64_t cap) {
+    static int8_t B2[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) B2[i] = -1;
+        B2['A'] = 0; B2['C'] = 1; B2['G'] = 2; B2['T'] = 3;
+        init = true;
+    }
+    struct CP { uint64_t code; int64_t pos; };
+    auto codes_of = [&](const uint8_t* s, int64_t len,
+                        std::vector<CP>& out_cp) {
+        int64_t n = len - k + 1;
+        if (n <= 0) return;
+        out_cp.reserve(n);
+        uint64_t code = 0;
+        const uint64_t mask = (k >= 32) ? ~0ull
+            : ((1ull << (2 * k)) - 1);
+        int bad = 0;   // bases since last invalid (lazy counter)
+        for (int64_t i = 0; i < len; i++) {
+            int8_t b = B2[s[i]];
+            code = ((code << 2) | (uint64_t)(b < 0 ? 0 : b)) & mask;
+            if (b < 0) bad = k;
+            else if (bad > 0) bad--;
+            if (i >= k - 1 && bad == 0)
+                out_cp.push_back({code, i - k + 1});
+        }
+    };
+    std::vector<CP> qc, tc;
+    codes_of(q, qlen, qc);
+    codes_of(t, tlen, tc);
+    if (qc.empty() || tc.empty()) return 0;
+    // sort by (code, pos) — matches numpy's stable code sort of
+    // position-ordered entries
+    auto by_code = [](const CP& a, const CP& b) {
+        return a.code != b.code ? a.code < b.code : a.pos < b.pos;
+    };
+    std::sort(qc.begin(), qc.end(), by_code);
+    std::sort(tc.begin(), tc.end(), by_code);
+    // pair up codes with count <= max_occ on both sides
+    std::vector<CP> pairs;   // code field reused as qpos; pos = tpos
+    size_t i = 0, j = 0;
+    bool cut = false;
+    while (i < qc.size() && j < tc.size()) {
+        uint64_t c = qc[i].code;
+        if (c < tc[j].code) { i++; continue; }
+        if (c > tc[j].code) { j++; continue; }
+        size_t i1 = i, j1 = j;
+        while (i1 < qc.size() && qc[i1].code == c) i1++;
+        while (j1 < tc.size() && tc[j1].code == c) j1++;
+        if ((int64_t)(i1 - i) <= max_occ && (int64_t)(j1 - j) <= max_occ) {
+            for (size_t a = i; a < i1 && !cut; a++) {
+                for (size_t b = j; b < j1; b++)
+                    pairs.push_back({(uint64_t)qc[a].pos, tc[b].pos});
+                // the Python loop checks the cutoff AFTER appending each
+                // query k-mer's hits
+                if ((int64_t)pairs.size() > max_pairs) cut = true;
+            }
+            if (cut) break;
+        }
+        i = i1; j = j1;
+    }
+    if (pairs.empty()) return 0;
+    // lexsort by (qpos, tpos)
+    std::sort(pairs.begin(), pairs.end(), [](const CP& a, const CP& b) {
+        return a.code != b.code ? a.code < b.code : a.pos < b.pos;
+    });
+    int64_t n = (int64_t)pairs.size();
+    std::vector<int64_t> tpos_v(n), kept(n);
+    for (int64_t a = 0; a < n; a++) tpos_v[a] = pairs[a].pos;
+    int64_t m = lis_chain(tpos_v.data(), n, kept.data());
+    // strict-monotone qpos filter
+    int64_t w = 0;
+    int64_t last_q = -1;
+    for (int64_t a = 0; a < m; a++) {
+        int64_t qp = (int64_t)pairs[kept[a]].code;
+        int64_t tp = pairs[kept[a]].pos;
+        if (a > 0 && qp <= last_q) continue;
+        if (w >= cap) return -1;
+        out_q[w] = qp;
+        out_t[w] = tp;
+        last_q = qp;
+        w++;
+    }
+    return w;
+}
+
 }  // extern "C"
