@@ -112,9 +112,12 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
             for (size_t a = i; a < i1 && !cut; a++) {
                 for (size_t b = j; b < j1; b++)
                     pairs.push_back({(uint64_t)qc[a].pos, tc[b].pos});
-                // the Python loop checks the cutoff AFTER appending each
-                // query k-mer's hits
-                if ((int64_t)pairs.size() > max_pairs) cut = true;
+                // the Python spec caps the cartesian pairing only on the
+                // rare-kmer (max_occ > 1) path, checking AFTER appending
+                // each query k-mer's hits (unique matches are never
+                // capped there)
+                if (max_occ > 1 && (int64_t)pairs.size() > max_pairs)
+                    cut = true;
             }
             if (cut) break;
         }
