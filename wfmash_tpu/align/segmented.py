@@ -431,20 +431,81 @@ class SegmentedEngine:
         # each record batch and drains it after — patch-stage align()
         # calls in between must not wipe the mains' records)
 
-        # phase 1: per-block anchor planning (host; fork-pooled when the
-        # batch is large — pure numpy, no device access in children)
+        # The device passes run in a BACKGROUND THREAD: tier-1 segment
+        # chunks dispatch WHILE the main thread is still planning later
+        # blocks (the stream fills as pieces classify), the deeper-tier
+        # cascade and placed-middle tiers follow, and the host exact
+        # engine overlaps it all — each tunnel dispatch is ~0.3 s of IO
+        # wait and the native WFA releases the GIL, so on the single-core
+        # VM planning, host tail and device wall overlap instead of
+        # alternating (round-2 VERDICT weak #2).
+        import threading as _threading
+
+        def score_ub(sq, st, ef):
+            if ef is not None:
+                return None          # free spans invalidate the bound
+            return (self.p.mismatch * min(len(sq), len(st))
+                    + self.p.gap_cost(abs(len(sq) - len(st))))
+
+        stream = (self.solver.stream(certify=True)
+                  if hasattr(self.solver, "stream") else None)
+        got_m: list = []
+        unc_m: list = []
+        _dev_err: list = []
+        _mids_ready = _threading.Event()
+
+        def _solve_mids():
+            if placed_jobs:
+                mids = [(q, t) for _, _, q, t, _, _ in placed_jobs]
+                got_m[:] = self.solver.solve(
+                    mids,
+                    max_scores=[
+                        self.p.mismatch * min(len(q), len(t))
+                        + self.p.gap_cost(abs(len(q) - len(t)))
+                        for q, t in mids],
+                    uncertified=unc_m)
+
+        def _device_phase():
+            try:
+                if stream is not None:
+                    stream.run()
+                else:
+                    unc[:] = [None] * len(seg_jobs)
+                    seg_stat[:] = [None] * len(seg_jobs)
+                    seg_ops[:] = self.solver.solve(
+                        [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
+                        max_scores=[score_ub(sq, st, ef)
+                                    for _, _, sq, st, ef in seg_jobs],
+                        uncertified=unc, status=seg_stat)
+                _mids_ready.wait()
+                _solve_mids()
+            except BaseException as e:  # re-raised on join
+                _dev_err.append(e)
+
+        def push_seg(ji, pi, sq, st, ef):
+            seg_jobs.append((ji, pi, sq, st, ef))
+            if stream is not None:
+                stream.add((sq, st, ef), score_ub(sq, st, ef))
+
+        _dev_th = None
+        if stream is not None:
+            # start consuming before planning produces (stream mode)
+            _dev_th = _threading.Thread(target=_device_phase,
+                                        name="wfmash-device-phase")
+            _dev_th.start()
+
+        # phase 1: small blocks and explicit ends-free jobs (boundary
+        # patches) go to the device solver directly when they fit its
+        # envelope — round-2 sent ALL of these to host
         todo = []
         for ji, (q, t, ef) in enumerate(jobs):
             q, t = bytes(q), bytes(t)
             if (ef is not None or len(q) < self.min_block
                     or len(t) < self.min_block):
-                # small blocks and explicit ends-free jobs (boundary
-                # patches) go to the device solver directly when they
-                # fit its envelope — round-2 sent ALL of these to host
                 plans[ji] = None
                 whole.add(ji)
                 if q and t and self.solver.accepts(len(q), len(t), ef):
-                    seg_jobs.append((ji, 0, q, t, ef))
+                    push_seg(ji, 0, q, t, ef)
                 else:
                     if not q or not t:
                         perf.add("align.exact_empty_side", 1)
@@ -458,24 +519,14 @@ class SegmentedEngine:
                     self.stats["exact_blocks"] += 1
             else:
                 todo.append((ji, q, t))
-        # plan against the CHEAP tier's envelope (512/256): re-anchoring
-        # an oversize span into ~256 bp tier-1 segments beats solving it
-        # whole on the deep tier; only unanchorable spans should reach t3
-        plan_args = [(q, t, self.seg_target, 512, 256) for _, q, t in todo]
-        planned = None
-        if self.threads > 1 and len(todo) >= 32:
-            from ..utils.hostpool import get_pool
-
-            pool = get_pool(self.threads)
-            if pool is not None:
-                planned = pool.starmap(
-                    _plan_bounds, plan_args,
-                    chunksize=max(1, len(todo) // (4 * self.threads)))
-        if planned is None:
-            planned = [_plan_bounds(*a) for a in plan_args]
-        perf.add("align.plan_s", _time.monotonic() - _t0)
-
-        for (ji, q, t), bounds in zip(todo, planned):
+        # phase 2: per-block anchor planning (native C++ host path),
+        # fused with piece classification so planned pieces stream to
+        # the device thread as they appear. Plans against the CHEAP
+        # tier's envelope (512/256): re-anchoring an oversize span into
+        # ~256 bp tier-1 segments beats solving it whole on the deep
+        # tier; only unanchorable spans should reach t3.
+        for (ji, q, t) in todo:
+            bounds = _plan_bounds(q, t, self.seg_target, 512, 256)
             if bounds is None:
                 plans[ji] = None
                 exact_jobs.append((ji, 0, q, t, None))
@@ -489,7 +540,7 @@ class SegmentedEngine:
                 st = t[bounds_t[pi]:bounds_t[pi + 1]]
                 pieces.append(None)
                 if self.solver.accepts(len(sq), len(st)) or not sq or not st:
-                    seg_jobs.append((ji, pi, sq, st, None))
+                    push_seg(ji, pi, sq, st, None)
                 else:
                     # a piece with a multi-hundred-bp length skew is a
                     # structural gap: end-to-end WFA would pay O(skew)
@@ -510,7 +561,7 @@ class SegmentedEngine:
                                           target_end=-skew)
                     if ef is not None and self.solver.accepts(
                             len(sq), len(st), ef):
-                        seg_jobs.append((ji, pi, sq, st, ef))
+                        push_seg(ji, pi, sq, st, ef)
                     elif ef is not None:
                         # too big for the device ends-free envelope: an
                         # unbounded host ends-free WFA on a multi-kb
@@ -542,53 +593,24 @@ class SegmentedEngine:
                         exact_jobs.append((ji, pi, sq, st, ef))
             plans[ji] = pieces
 
-        # device lockstep pass over every segment of every block. Every
-        # job carries its trivial score upper bound (all-mismatch +
-        # length-difference gap: no alignment can cost more), so garbage
-        # pieces stop sweeping at their bound instead of the tier smax.
-        #
-        # The device passes (segment tiers + placed-middle tiers) run in
-        # a BACKGROUND THREAD while the host exact engine works the
-        # host-routed jobs: each tunnel dispatch is ~0.3 s of IO wait
-        # and the native WFA releases the GIL, so on the single-core VM
-        # the host tail hides inside the device wall instead of
-        # alternating with it (round-2 VERDICT weak #2).
+        # planning complete: every device-eligible piece of every block
+        # is in the stream (each with its trivial score upper bound —
+        # all-mismatch + length-difference gap — so garbage pieces stop
+        # sweeping at their bound instead of the tier smax); placed_jobs
+        # is final, so release the mids stage too
         self.stats["segments"] += len(seg_jobs)
+        perf.add("align.plan_s", _time.monotonic() - _t0)
         _t1 = _time.monotonic()
-
-        def score_ub(sq, st, ef):
-            if ef is not None:
-                return None          # free spans invalidate the bound
-            return (self.p.mismatch * min(len(sq), len(st))
-                    + self.p.gap_cost(abs(len(sq) - len(st))))
-
-        import threading as _threading
-
         unc: list = []
         seg_stat: list = []
         seg_ops: list = []
-        got_m: list = []
-        unc_m: list = []
-        _dev_err: list = []
-
-        def _device_phase():
-            try:
-                seg_ops[:] = self.solver.solve(
-                    [(sq, st, ef) for _, _, sq, st, ef in seg_jobs],
-                    max_scores=[score_ub(sq, st, ef)
-                                for _, _, sq, st, ef in seg_jobs],
-                    uncertified=unc, status=seg_stat)
-                if placed_jobs:
-                    mids = [(q, t) for _, _, q, t, _, _ in placed_jobs]
-                    got_m[:] = self.solver.solve(
-                        mids,
-                        max_scores=[
-                            self.p.mismatch * min(len(q), len(t))
-                            + self.p.gap_cost(abs(len(q) - len(t)))
-                            for q, t in mids],
-                        uncertified=unc_m)
-            except BaseException as e:  # re-raised on join
-                _dev_err.append(e)
+        if stream is not None:
+            stream.close()
+        _mids_ready.set()
+        if _dev_th is None:   # non-streaming solver: start the thread now
+            _dev_th = _threading.Thread(target=_device_phase,
+                                        name="wfmash-device-phase")
+            _dev_th.start()
 
         # exact-engine passes. Escalations already failed the segment
         # kernel, so the exact engine must not re-try them there
@@ -610,9 +632,6 @@ class SegmentedEngine:
                 else:
                     plans[ji][pi] = ops
 
-        _dev_th = _threading.Thread(target=_device_phase,
-                                    name="wfmash-device-phase")
-        _dev_th.start()
         # host exact pass, concurrent with the device thread
         _t2 = _time.monotonic()
         try:
@@ -622,6 +641,10 @@ class SegmentedEngine:
             _dev_th.join()
         if _dev_err:
             raise _dev_err[0]
+        if stream is not None:
+            seg_ops[:] = stream.res
+            seg_stat[:] = stream.st
+            unc[:] = stream.unc
         perf.add("align.seg_solve_s", _time.monotonic() - _t1)
         self._escal_census = {}
         for k, ops in enumerate(seg_ops):

@@ -816,26 +816,8 @@ class TieredSegmentSolver:
                                    _job_parts(jobs[i])[2])
                    or not jobs[i][0] or not jobs[i][1]]
             if idx:
-                tst: list = []
-                tunc: list = []
-                got = tier.solve(
-                    [jobs[i] for i in idx], certify=certify, status=tst,
-                    max_scores=None if max_scores is None else
-                    [max_scores[i] for i in idx], uncertified=tunc)
-                refuted = set()
-                for i, o, s, u in zip(idx, got, tst, tunc):
-                    res[i] = o
-                    if u is not None:
-                        unc_all[i] = u   # deepest tier's banded result
-                    if s != "envelope":
-                        # deepest tier that attempted it, with its score
-                        # budget (a "scorecap" proves score > that smax)
-                        st[i] = (s, tier.smax)
-                    if (s == "scorecap" and max_scores is not None
-                            and max_scores[i] is not None
-                            and max_scores[i] <= tier.smax):
-                        # score > cap proven — no deeper tier can help
-                        refuted.add(i)
+                refuted = self._run_tier(tier, idx, jobs, certify,
+                                         max_scores, res, st, unc_all)
                 pending = [i for i in pending
                            if res[i] is None and i not in refuted]
             else:
@@ -845,3 +827,116 @@ class TieredSegmentSolver:
         if uncertified is not None:
             uncertified[:] = unc_all
         return res
+
+    def _run_tier(self, tier, idx, jobs, certify, max_scores, res, st,
+                  unc_all):
+        """One tier pass over job indices idx; fills res/st/unc_all and
+        returns the set of refuted indices (score cap proven)."""
+        tst: list = []
+        tunc: list = []
+        got = tier.solve(
+            [jobs[i] for i in idx], certify=certify, status=tst,
+            max_scores=None if max_scores is None else
+            [max_scores[i] for i in idx], uncertified=tunc)
+        refuted = set()
+        for i, o, s, u in zip(idx, got, tst, tunc):
+            res[i] = o
+            if u is not None:
+                unc_all[i] = u   # deepest tier's banded result
+            if s != "envelope":
+                # deepest tier that attempted it, with its score
+                # budget (a "scorecap" proves score > that smax)
+                st[i] = (s, tier.smax)
+            if (s == "scorecap" and max_scores is not None
+                    and max_scores[i] is not None
+                    and max_scores[i] <= tier.smax):
+                # score > cap proven — no deeper tier can help
+                refuted.add(i)
+        return refuted
+
+    def stream(self, certify: bool = True):
+        """Streaming solve: a _StreamSolve whose add() feeds jobs from
+        the planning thread while run() (a worker thread) dispatches
+        tier-1 chunks as they fill, then cascades the remainder through
+        the deeper tiers. Per-job results are bit-identical to solve()
+        (a job's result never depends on its chunk's other members)."""
+        return _StreamSolve(self, certify)
+
+
+class _StreamSolve:
+    """Producer/consumer wrapper around TieredSegmentSolver (see
+    TieredSegmentSolver.stream). add() and close() are called by the
+    producing (planning) thread; run() is the consuming worker."""
+
+    def __init__(self, solver: TieredSegmentSolver, certify: bool):
+        import threading
+
+        self.solver = solver
+        self.certify = certify
+        self.cv = threading.Condition()
+        self.jobs: list = []
+        self.max_scores: list = []
+        self.closed = False
+        self.res: list = []
+        self.st: list = []
+        self.unc: list = []
+        self.refuted: set = set()
+
+    def add(self, job, max_score=None) -> int:
+        with self.cv:
+            self.jobs.append(job)
+            self.max_scores.append(max_score)
+            self.res.append(None)
+            self.st.append(("envelope", 0))
+            self.unc.append(None)
+            k = len(self.jobs) - 1
+            self.cv.notify()
+        return k
+
+    def close(self) -> None:
+        with self.cv:
+            self.closed = True
+            self.cv.notify()
+
+    def run(self) -> None:
+        t1 = self.solver.tiers[0]
+        CH = t1.max_call
+        taken = 0
+        elig: list = []     # t1-eligible, awaiting dispatch
+        while True:
+            with self.cv:
+                while not self.closed and len(self.jobs) - taken < CH:
+                    self.cv.wait(0.05)
+                new_hi = len(self.jobs)
+                closed = self.closed
+            for k in range(taken, new_hi):
+                q, t, ef = _job_parts(self.jobs[k])
+                if not q or not t or t1.accepts(len(q), len(t), ef):
+                    elig.append(k)
+            taken = new_hi
+            drained = closed and taken == len(self.jobs)
+            while len(elig) >= CH or (drained and elig):
+                chunk, elig = elig[:CH], elig[CH:]
+                self.refuted |= self.solver._run_tier(
+                    t1, chunk, self.jobs, self.certify, self.max_scores,
+                    self.res, self.st, self.unc)
+            if drained and not elig:
+                break
+        # cascade the remainder through the deeper tiers (pooled)
+        pending = [k for k in range(len(self.jobs))
+                   if self.res[k] is None and k not in self.refuted]
+        for tier in self.solver.tiers[1:]:
+            if not pending:
+                break
+            idx = [i for i in pending
+                   if tier.accepts(len(self.jobs[i][0]),
+                                   len(self.jobs[i][1]),
+                                   _job_parts(self.jobs[i])[2])]
+            if idx:
+                refuted = self.solver._run_tier(
+                    tier, idx, self.jobs, self.certify, self.max_scores,
+                    self.res, self.st, self.unc)
+                pending = [i for i in pending
+                           if self.res[i] is None and i not in refuted]
+            else:
+                pending = [i for i in pending if self.res[i] is None]
