@@ -32,18 +32,52 @@ struct Level {
             *D2 = nullptr;
 };
 
+// Persistent per-thread bump arena. A full-history WFA touches
+// O(score^2) bytes; fresh malloc each call means re-faulting every page
+// on every alignment (measured ~40% of the align wall on LPA). Chunks
+// stay mapped across calls and are bump-reused; reset() trims residency
+// back to MAX_KEEP so one giant divergent record doesn't pin gigabytes.
 struct Arena {
-    std::vector<int32_t *> blocks;
+    static constexpr size_t CHUNK = 16u << 20;       // 16 MiB
+    static constexpr size_t MAX_KEEP = 256u << 20;   // resident cap
+    std::vector<std::pair<char *, size_t>> chunks;   // (ptr, size)
+    size_t cur = 0;   // active chunk index
+    size_t off = 0;   // bump offset in active chunk
     ~Arena() {
-        for (auto *b : blocks) free(b);
+        for (auto &c : chunks) free(c.first);
+    }
+    void reset() {
+        cur = 0;
+        off = 0;
+        size_t tot = 0, keep = 0;
+        for (; keep < chunks.size() && tot < MAX_KEEP; keep++)
+            tot += chunks[keep].second;
+        for (size_t i = keep; i < chunks.size(); i++) free(chunks[i].first);
+        chunks.resize(keep);
+    }
+    int32_t *alloc_raw(int32_t n) {
+        size_t need = sizeof(int32_t) * (size_t)n;
+        while (cur < chunks.size() && chunks[cur].second - off < need) {
+            cur++;
+            off = 0;
+        }
+        if (cur == chunks.size()) {
+            size_t sz = need > CHUNK ? need : CHUNK;
+            chunks.emplace_back((char *)malloc(sz), sz);
+            off = 0;
+        }
+        int32_t *p = (int32_t *)(chunks[cur].first + off);
+        off += need;
+        return p;
     }
     int32_t *alloc_fill(int32_t n, int32_t fill) {
-        int32_t *p = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
-        blocks.push_back(p);
+        int32_t *p = alloc_raw(n);
         for (int32_t i = 0; i < n; i++) p[i] = fill;
         return p;
     }
 };
+
+thread_local Arena g_arena;
 
 struct Getter {
     const std::vector<Level> &hist;
@@ -107,7 +141,8 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         *out_score = 0;
         return 0;
     }
-    Arena arena;
+    Arena &arena = g_arena;
+    arena.reset();
     std::vector<Level> hist;
 
     auto extend = [&](int64_t h, int64_t v) -> int64_t {
@@ -151,10 +186,15 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
 
     auto find_end = [&](const Level &L, int64_t *ek, int64_t *eh) -> bool {
         if (L.n == 0 || !L.M) return false;
-        for (int32_t i = 0; i < L.n; i++) {
-            int64_t h = L.M[i];
+        // An accepting cell needs h==m (k in [m-n, m-n+te]) or v==n
+        // (k in [m-n-qe, m-n]) — scan only that diagonal window, in
+        // ascending k like the full scan (same smallest-k tie-break).
+        int64_t klo = m - n - qe, khi = m - n + te;
+        if (klo < L.lo) klo = L.lo;
+        if (khi > L.lo + L.n - 1) khi = L.lo + L.n - 1;
+        for (int64_t k = klo; k <= khi; k++) {
+            int64_t h = L.M[k - L.lo];
             if (h <= NEG) continue;
-            int64_t k = L.lo + i;
             int64_t v = h - k;
             if ((h == m && v >= 0 && v <= n && n - v <= te) ||
                 (v == n && h >= 0 && h <= m && m - h <= qe)) {
@@ -237,15 +277,16 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         bool has_d1 = has_mo1 || has_d1e;
         bool has_d2 = has_mo2 || has_d2e;
         bool has_m = has_mx || has_i1 || has_i2 || has_d1 || has_d2;
-        if (has_i1) L.I1 = arena.alloc_fill(L.n, NEG);
-        if (has_i2) L.I2 = arena.alloc_fill(L.n, NEG);
-        if (has_d1) L.D1 = arena.alloc_fill(L.n, NEG);
-        if (has_d2) L.D2 = arena.alloc_fill(L.n, NEG);
-        if (has_m) L.M = arena.alloc_fill(L.n, NEG);
+        if (has_i1) L.I1 = arena.alloc_raw(L.n);
+        if (has_i2) L.I2 = arena.alloc_raw(L.n);
+        if (has_d1) L.D1 = arena.alloc_raw(L.n);
+        if (has_d2) L.D2 = arena.alloc_raw(L.n);
+        if (has_m) L.M = arena.alloc_raw(L.n);
 
-        // range-based vectorizable combines (identical max recurrences;
-        // the old per-k Getter walk cost ~20-40 cycles/cell in bounds
-        // checks — these inner loops auto-vectorize)
+        // Fused single-pass combines. Same max recurrences as the old
+        // fill/max/add multi-pass (bit-identical by construction: fill
+        // NEG + copy + max + guarded add == max(a,b) > NEG ? +inc :
+        // NEG); one write per lane instead of four, no NEG pre-fill.
         struct View {
             const int32_t *p = nullptr;
             int64_t lo = 0, n = 0;
@@ -262,26 +303,62 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
             v.n = P.n;
             return v;
         };
-        // dst[i] (diagonal k = lo+i) op= src[k + shift]
-        auto fill_shift = [&](int32_t *dst, View sv, int64_t shift) {
-            if (!sv.p) return;
-            int64_t i0 = sv.lo - shift - lo;
-            int64_t i1_ = sv.lo + sv.n - 1 - shift - lo;
-            if (i0 < 0) i0 = 0;
-            if (i1_ > nk - 1) i1_ = nk - 1;
-            const int32_t *sp = sv.p + (lo + i0 + shift - sv.lo);
-            for (int64_t i = i0; i <= i1_; i++) dst[i] = sp[i - i0];
-        };
-        auto max_shift = [&](int32_t *dst, View sv, int64_t shift) {
-            if (!sv.p) return;
-            int64_t i0 = sv.lo - shift - lo;
-            int64_t i1_ = sv.lo + sv.n - 1 - shift - lo;
-            if (i0 < 0) i0 = 0;
-            if (i1_ > nk - 1) i1_ = nk - 1;
-            const int32_t *sp = sv.p + (lo + i0 + shift - sv.lo);
-            for (int64_t i = i0; i <= i1_; i++) {
-                int32_t v = sp[i - i0];
-                if (v > dst[i]) dst[i] = v;
+        // dst[i] = max(a[k+shift], b[k+shift]) + inc (NEG when both
+        // absent/NEG); both sources share the shift, so the [0,nk)
+        // range splits into <=5 contiguous segments by which sources
+        // cover them — every inner loop is a contiguous vector op.
+        auto combine2 = [&](int32_t *dst, View va, View vb, int64_t shift,
+                            int32_t inc) {
+            int64_t a0 = nk, a1 = -1, b0 = nk, b1 = -1;
+            if (va.p) {
+                a0 = va.lo - shift - lo;
+                a1 = va.lo + va.n - 1 - shift - lo;
+                if (a0 < 0) a0 = 0;
+                if (a1 > nk - 1) a1 = nk - 1;
+            }
+            if (vb.p) {
+                b0 = vb.lo - shift - lo;
+                b1 = vb.lo + vb.n - 1 - shift - lo;
+                if (b0 < 0) b0 = 0;
+                if (b1 > nk - 1) b1 = nk - 1;
+            }
+            int64_t cuts[6] = {0, a0, a1 + 1, b0, b1 + 1, nk};
+            for (int c = 0; c < 5; c++)       // tiny insertion sort
+                for (int d = c + 1; d < 6; d++)
+                    if (cuts[d] < cuts[c]) {
+                        int64_t tmp = cuts[c];
+                        cuts[c] = cuts[d];
+                        cuts[d] = tmp;
+                    }
+            for (int c = 0; c < 5; c++) {
+                int64_t s0 = cuts[c] < 0 ? 0 : cuts[c];
+                int64_t s1 = cuts[c + 1] > nk ? nk : cuts[c + 1];
+                if (s0 >= s1) continue;
+                bool ina = s0 >= a0 && s0 <= a1;
+                bool inb = s0 >= b0 && s0 <= b1;
+                if (ina && inb) {
+                    const int32_t *pa = va.p + (lo + s0 + shift - va.lo);
+                    const int32_t *pb = vb.p + (lo + s0 + shift - vb.lo);
+                    for (int64_t i = s0; i < s1; i++) {
+                        int32_t v = pa[i - s0] > pb[i - s0] ? pa[i - s0]
+                                                            : pb[i - s0];
+                        dst[i] = v > NEG ? v + inc : NEG;
+                    }
+                } else if (ina) {
+                    const int32_t *pa = va.p + (lo + s0 + shift - va.lo);
+                    for (int64_t i = s0; i < s1; i++) {
+                        int32_t v = pa[i - s0];
+                        dst[i] = v > NEG ? v + inc : NEG;
+                    }
+                } else if (inb) {
+                    const int32_t *pb = vb.p + (lo + s0 + shift - vb.lo);
+                    for (int64_t i = s0; i < s1; i++) {
+                        int32_t v = pb[i - s0];
+                        dst[i] = v > NEG ? v + inc : NEG;
+                    }
+                } else {
+                    for (int64_t i = s0; i < s1; i++) dst[i] = NEG;
+                }
             }
         };
         View vMx = view(s - x, offsetof(Level, M));
@@ -291,41 +368,55 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         View vI2 = view(s - e2, offsetof(Level, I2));
         View vD1 = view(s - e1, offsetof(Level, D1));
         View vD2 = view(s - e2, offsetof(Level, D2));
-        if (has_i1) {
-            fill_shift(L.I1, vMo1, -1);
-            max_shift(L.I1, vI1, -1);
-            for (int64_t i = 0; i < nk; i++)
-                if (L.I1[i] > NEG) L.I1[i] += 1;
-        }
-        if (has_i2) {
-            fill_shift(L.I2, vMo2, -1);
-            max_shift(L.I2, vI2, -1);
-            for (int64_t i = 0; i < nk; i++)
-                if (L.I2[i] > NEG) L.I2[i] += 1;
-        }
-        if (has_d1) {
-            fill_shift(L.D1, vMo1, +1);
-            max_shift(L.D1, vD1, +1);
-        }
-        if (has_d2) {
-            fill_shift(L.D2, vMo2, +1);
-            max_shift(L.D2, vD2, +1);
-        }
+        if (has_i1) combine2(L.I1, vMo1, vI1, -1, +1);
+        if (has_i2) combine2(L.I2, vMo2, vI2, -1, +1);
+        if (has_d1) combine2(L.D1, vMo1, vD1, +1, 0);
+        if (has_d2) combine2(L.D2, vMo2, vD2, +1, 0);
         if (has_m) {
-            int32_t *best = arena.alloc_fill((int32_t)nk, NEG);
-            fill_shift(best, vMx, 0);
-            for (int64_t i = 0; i < nk; i++)
-                if (best[i] > NEG) best[i] += 1;
-            if (L.I1) max_shift(best, View{L.I1, lo, nk}, 0);
-            if (L.I2) max_shift(best, View{L.I2, lo, nk}, 0);
-            if (L.D1) max_shift(best, View{L.D1, lo, nk}, 0);
-            if (L.D2) max_shift(best, View{L.D2, lo, nk}, 0);
+            // best = max(Mx[k]+1, I1, I2, D1, D2) into L.M (in place),
+            // branch-free vector passes; then one scalar extend pass.
+            int32_t *best = L.M;
+            const int32_t *pi1 = L.I1, *pi2 = L.I2, *pd1 = L.D1,
+                          *pd2 = L.D2;
+            if (pi1 && pi2 && pd1 && pd2) {   // common steady state
+                for (int64_t i = 0; i < nk; i++) {
+                    int32_t a = pi1[i] > pi2[i] ? pi1[i] : pi2[i];
+                    int32_t b = pd1[i] > pd2[i] ? pd1[i] : pd2[i];
+                    best[i] = a > b ? a : b;
+                }
+            } else {
+                for (int64_t i = 0; i < nk; i++) best[i] = NEG;
+                for (const int32_t *pg : {pi1, pi2, pd1, pd2}) {
+                    if (!pg) continue;
+                    for (int64_t i = 0; i < nk; i++)
+                        if (pg[i] > best[i]) best[i] = pg[i];
+                }
+            }
+            if (vMx.p) {
+                int64_t x0 = vMx.lo - lo;
+                int64_t x1 = vMx.lo + vMx.n - 1 - lo;
+                if (x0 < 0) x0 = 0;
+                if (x1 > nk - 1) x1 = nk - 1;
+                const int32_t *px = vMx.p + (lo + x0 - vMx.lo);
+                for (int64_t i = x0; i <= x1; i++) {
+                    int32_t v = px[i - x0];
+                    int32_t w = v > NEG ? v + 1 : NEG;
+                    if (w > best[i]) best[i] = w;
+                }
+            }
             for (int64_t i = 0; i < nk; i++) {
-                if (best[i] <= NEG) continue;
+                int32_t b = best[i];
+                if (b <= NEG) {
+                    L.M[i] = NEG;
+                    continue;
+                }
                 int64_t k = lo + i;
-                int64_t h = best[i];
+                int64_t h = b;
                 int64_t v = h - k;
-                if (h < 0 || h > m || v < 0 || v > n) continue;  // stays NEG
+                if (h < 0 || h > m || v < 0 || v > n) {
+                    L.M[i] = NEG;
+                    continue;
+                }
                 L.M[i] = (int32_t)(h + extend(h, v));
             }
         }
