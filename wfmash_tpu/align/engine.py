@@ -158,6 +158,33 @@ def make_engine(params: AlignParams):
     choice = os.environ.get("WFMASH_TPU_WFA_ENGINE", "auto")
     if choice == "host":
         return HostWfaEngine(penalties)
+
+    # Anchored segmentation (the TPU-native wflambda, align/segmented.py)
+    # is the default for large blocks: thousands of lockstep segment WFAs
+    # replace one score-serial sweep. WFMASH_TPU_SEGMENTED=0 restores
+    # exact whole-block biWFA (fidelity-ledger divergence); the "auto"
+    # default is latency-aware like the mapping backend: through a
+    # tunnel-grade device link (RTT > 20 ms) the per-launch round trips
+    # plus host planning lose to the native exact engine (measured on
+    # LPA all-vs-all: 15.3 s host align vs 45+ s hybrid through the
+    # ~250 ms-RTT axon tunnel), so with the native WFA available the
+    # host engine wins; local accelerators (<1 ms RTT) keep segmented.
+    # The probe runs BEFORE any jax.devices() touch: it is
+    # subprocess-guarded, so a dead tunnel degrades to the host engine
+    # instead of hanging device init.
+    seg = os.environ.get("WFMASH_TPU_SEGMENTED", "auto")
+    if seg == "auto":
+        try:
+            from ..native import get_wfa_lib
+            from ..runner import _device_rtt_ms
+
+            if get_wfa_lib() is not None and _device_rtt_ms() > 20.0:
+                log("[wfmash::align] device round-trip latency too high;"
+                    " using the native exact engine (override with "
+                    "WFMASH_TPU_SEGMENTED=1)")
+                return HostWfaEngine(penalties)
+        except Exception:   # pragma: no cover - probe failure
+            pass
     try:
         from .wfa_jax import JaxWfaEngine
 
@@ -167,11 +194,6 @@ def make_engine(params: AlignParams):
         log(f"[wfmash::align] JAX WFA engine unavailable ({e}); using host engine")
         return HostWfaEngine(penalties)
 
-    # Anchored segmentation (the TPU-native wflambda, align/segmented.py)
-    # is the default for large blocks: thousands of lockstep segment WFAs
-    # replace one score-serial sweep. WFMASH_TPU_SEGMENTED=0 restores
-    # exact whole-block biWFA (fidelity-ledger divergence).
-    seg = os.environ.get("WFMASH_TPU_SEGMENTED", "1")
     if seg != "0":
         import jax
 

@@ -49,27 +49,80 @@ _MP_STATE: dict = {}
 _RTT_MS: float | None = None
 
 
+_RTT_PROBE = """
+import time
+import numpy as np
+import jax.numpy as jnp
+x = jnp.zeros(8, jnp.int32)
+np.asarray(x.sum())
+samples = []
+for _ in range(3):
+    t0 = time.monotonic()
+    np.asarray((x + 1).sum())
+    samples.append((time.monotonic() - t0) * 1e3)
+print("RTT_MS=%.3f" % sorted(samples)[1])
+"""
+
+
 def _device_rtt_ms() -> float:
     """Median device round-trip latency (ms): a tiny transfer forced to
     completion. Distinguishes local accelerators (<1 ms) from tunneled
     ones (hundreds of ms), where per-call overhead changes which mapping
-    backend wins."""
+    backend wins.
+
+    When the configured backend is a remote accelerator, the probe runs
+    in a SUBPROCESS with a timeout: a dead tunnel hangs device init
+    indefinitely, and probing in-process would take the whole pipeline
+    down with it. On timeout the device is declared unreachable
+    (RTT=inf) and the parent — whose own backends are still
+    uninitialized, the probe being the first device touch — is switched
+    to the CPU platform so mapping/alignment proceed on the host paths.
+    """
     global _RTT_MS
     if _RTT_MS is not None:
         return _RTT_MS
     import time
 
-    import jax.numpy as jnp
+    import jax
 
-    x = jnp.zeros(8, jnp.int32)
-    np.asarray(x.sum())             # warm-up / compile
-    samples = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        np.asarray((x + 1).sum())
-        samples.append((time.monotonic() - t0) * 1e3)
-    _RTT_MS = sorted(samples)[1]
-    return _RTT_MS
+    if str(jax.config.jax_platforms or "").startswith("cpu"):
+        # CPU backend (tests, no-accelerator hosts): probe in-process
+        import jax.numpy as jnp
+
+        x = jnp.zeros(8, jnp.int32)
+        np.asarray(x.sum())             # warm-up / compile
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            np.asarray((x + 1).sum())
+            samples.append((time.monotonic() - t0) * 1e3)
+        _RTT_MS = sorted(samples)[1]
+        return _RTT_MS
+
+    import os
+    import subprocess
+    import sys as _sys
+
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c", _RTT_PROBE], capture_output=True,
+            text=True, timeout=float(os.environ.get(
+                "WFMASH_TPU_RTT_TIMEOUT_S", "120")))
+        for line in out.stdout.splitlines():
+            if line.startswith("RTT_MS="):
+                _RTT_MS = float(line.split("=", 1)[1])
+                return _RTT_MS
+        raise RuntimeError(out.stderr[-200:])
+    except (subprocess.TimeoutExpired, RuntimeError, ValueError,
+            OSError) as e:
+        log("[wfmash] device unreachable (%s); falling back to CPU"
+            % type(e).__name__)
+        _RTT_MS = float("inf")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:   # pragma: no cover - backend already live
+            pass
+        return _RTT_MS
 
 
 def _mp_run_one(qname):
@@ -335,10 +388,9 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
         _dl1 = _os2.environ.get("WFMASH_TPU_DEVICE_L1")
         if _dl1 is None:
             try:
-                import jax as _jax0
-
-                _dl1 = "1" if _jax0.default_backend() != "cpu" else "0"
-                if _dl1 == "1" and _device_rtt_ms() > 20.0:
+                # probe FIRST (subprocess-guarded — a dead tunnel must
+                # degrade to host mapping, not hang default_backend())
+                if _device_rtt_ms() > 20.0:
                     # the device path costs ~60 kernel calls per run;
                     # at tunnel-grade round-trip latency that loses to
                     # the native host path (measured: 32 s vs 5.7 s on
@@ -348,6 +400,11 @@ def run_mapping(params: MapParams, out, scaffold_writer=None) -> None:
                         "too high; using host mapping (override with "
                         "WFMASH_TPU_DEVICE_L1=1)")
                     _dl1 = "0"
+                else:
+                    import jax as _jax0
+
+                    _dl1 = ("1" if _jax0.default_backend() != "cpu"
+                            else "0")
             except Exception:   # pragma: no cover - no jax
                 _dl1 = "0"
         if _dl1 != "0":
