@@ -100,13 +100,21 @@ def main() -> None:
     jaxcache.enable()
     from wfmash_tpu.align.engine import run_alignment
     from wfmash_tpu.params import AlignParams, MapParams
-    from wfmash_tpu.runner import run_mapping
+    from wfmash_tpu.runner import _device_rtt_ms, run_mapping
     from wfmash_tpu.utils import perf
 
-    try:
-        bench_sweep()
-    except Exception as e:  # keep the headline metric alive regardless
-        log(f"[bench] sweep benchmark failed: {e}")
+    # subprocess-guarded probe FIRST: a dead tunnel degrades the whole
+    # bench to the host paths instead of hanging device init
+    rtt = _device_rtt_ms()
+    log(f"[bench] device RTT: {rtt:.1f} ms")
+
+    if rtt != float("inf"):
+        try:
+            bench_sweep()
+        except Exception as e:  # keep the headline metric alive regardless
+            log(f"[bench] sweep benchmark failed: {e}")
+    else:
+        log("[bench] device unreachable; skipping sweep benchmark")
 
     threads = min(8, os.cpu_count() or 1)
     mp = MapParams(
