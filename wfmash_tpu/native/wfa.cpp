@@ -11,9 +11,19 @@
 //
 // This is the host leaf solver of the alignment engine (reference
 // analogue: WFA2-lib's affine2p wavefront aligner, the reference's
-// default via wflign.cpp:136-148). The round-2 profile showed the
-// numpy per-score-level Python loop dominating the align wall; this
-// port removes that constant factor without changing a single op.
+// default via wflign.cpp:136-148). The full wavefront history is
+// O(score^2) lanes, so the implementation is memory-first:
+//
+//  * the lane type is TEMPLATED — int16 when both sequences are
+//    < 32 kb (offsets fit; halves memory traffic and doubles SIMD
+//    width), int32 otherwise. Offsets never exceed m, so the two
+//    instantiations compute identical values;
+//  * a persistent per-thread bump arena reuses mapped chunks across
+//    calls (fresh mallocs re-faulted every page on every alignment —
+//    measured ~40% of the LPA align wall);
+//  * each level is built by fused single-pass segmented combines (one
+//    write per lane, no NEG pre-fill), and the end scan only covers
+//    the accepting diagonal window [m-n-qe, m-n+te].
 
 #include <cstddef>
 #include <cstdint>
@@ -23,20 +33,33 @@
 
 namespace {
 
-constexpr int32_t NEG = -(1 << 28);
+template <typename T>
+struct NegOf;
+template <>
+struct NegOf<int32_t> {
+    static constexpr int32_t v = -(1 << 28);
+};
+template <>
+struct NegOf<int16_t> {
+    // INT16_MIN: real offsets are always >= 0, so the sentinel only
+    // ever needs to order below them (never incremented — all +inc
+    // sites are guarded by v > NEG)
+    static constexpr int16_t v = (int16_t)-32768;
+};
 
+template <typename T>
 struct Level {
     int32_t lo = 0;
     int32_t n = 0;  // lanes; 0 => level absent entirely
-    int32_t *M = nullptr, *I1 = nullptr, *I2 = nullptr, *D1 = nullptr,
-            *D2 = nullptr;
+    T *M = nullptr, *I1 = nullptr, *I2 = nullptr, *D1 = nullptr,
+      *D2 = nullptr;
 };
 
 // Persistent per-thread bump arena. A full-history WFA touches
 // O(score^2) bytes; fresh malloc each call means re-faulting every page
-// on every alignment (measured ~40% of the align wall on LPA). Chunks
-// stay mapped across calls and are bump-reused; reset() trims residency
-// back to MAX_KEEP so one giant divergent record doesn't pin gigabytes.
+// on every alignment. Chunks stay mapped across calls and are
+// bump-reused; reset() trims residency back to MAX_KEEP so one giant
+// divergent record doesn't pin gigabytes.
 struct Arena {
     static constexpr size_t CHUNK = 16u << 20;       // 16 MiB
     static constexpr size_t MAX_KEEP = 256u << 20;   // resident cap
@@ -55,8 +78,9 @@ struct Arena {
         for (size_t i = keep; i < chunks.size(); i++) free(chunks[i].first);
         chunks.resize(keep);
     }
-    int32_t *alloc_raw(int32_t n) {
-        size_t need = sizeof(int32_t) * (size_t)n;
+    template <typename T>
+    T *alloc_raw(int32_t n) {
+        size_t need = (sizeof(T) * (size_t)n + 7u) & ~(size_t)7u;
         while (cur < chunks.size() && chunks[cur].second - off < need) {
             cur++;
             off = 0;
@@ -66,12 +90,13 @@ struct Arena {
             chunks.emplace_back((char *)malloc(sz), sz);
             off = 0;
         }
-        int32_t *p = (int32_t *)(chunks[cur].first + off);
+        T *p = (T *)(chunks[cur].first + off);
         off += need;
         return p;
     }
-    int32_t *alloc_fill(int32_t n, int32_t fill) {
-        int32_t *p = alloc_raw(n);
+    template <typename T>
+    T *alloc_fill(int32_t n, T fill) {
+        T *p = alloc_raw<T>(n);
         for (int32_t i = 0; i < n; i++) p[i] = fill;
         return p;
     }
@@ -79,29 +104,30 @@ struct Arena {
 
 thread_local Arena g_arena;
 
+template <typename T>
 struct Getter {
-    const std::vector<Level> &hist;
-    int32_t M(int64_t s, int64_t k) const {
-        return getv(s, k, offsetof(Level, M));
+    const std::vector<Level<T>> &hist;
+    int64_t M(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level<T>, M));
     }
-    int32_t I1(int64_t s, int64_t k) const {
-        return getv(s, k, offsetof(Level, I1));
+    int64_t I1(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level<T>, I1));
     }
-    int32_t I2(int64_t s, int64_t k) const {
-        return getv(s, k, offsetof(Level, I2));
+    int64_t I2(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level<T>, I2));
     }
-    int32_t D1(int64_t s, int64_t k) const {
-        return getv(s, k, offsetof(Level, D1));
+    int64_t D1(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level<T>, D1));
     }
-    int32_t D2(int64_t s, int64_t k) const {
-        return getv(s, k, offsetof(Level, D2));
+    int64_t D2(int64_t s, int64_t k) const {
+        return getv(s, k, offsetof(Level<T>, D2));
     }
-    int32_t getv(int64_t s, int64_t k, size_t off) const {
+    int64_t getv(int64_t s, int64_t k, size_t off) const {
+        constexpr T NEG = NegOf<T>::v;
         if (s < 0 || s >= (int64_t)hist.size()) return NEG;
-        const Level &L = hist[(size_t)s];
+        const Level<T> &L = hist[(size_t)s];
         if (L.n == 0) return NEG;
-        const int32_t *a =
-            *(int32_t *const *)((const char *)&L + off);
+        const T *a = *(T *const *)((const char *)&L + off);
         if (!a) return NEG;
         int64_t idx = k - L.lo;
         if (idx < 0 || idx >= L.n) return NEG;
@@ -124,26 +150,20 @@ struct Emitter {
     }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Returns: number of RLE ops written to out (packed (count<<8)|op_char),
-// with *out_score set; -1 if max_score exceeded (caller returns
-// (None, None)); -2 if out capacity insufficient (caller falls back);
-// -3 on convergence failure (caller raises, matching wfa_vec).
-int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
-                         int64_t n, int32_t x, int32_t o1, int32_t e1,
-                         int32_t o2, int32_t e2, int64_t tb, int64_t te,
-                         int64_t qb, int64_t qe, int64_t max_score,
-                         int64_t *out, int64_t cap, int64_t *out_score) {
+template <typename T>
+int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
+                       int64_t n, int32_t x, int32_t o1, int32_t e1,
+                       int32_t o2, int32_t e2, int64_t tb, int64_t te,
+                       int64_t qb, int64_t qe, int64_t max_score,
+                       int64_t *out, int64_t cap, int64_t *out_score) {
+    constexpr T NEG = NegOf<T>::v;
     if (m == 0 && n == 0) {
         *out_score = 0;
         return 0;
     }
     Arena &arena = g_arena;
     arena.reset();
-    std::vector<Level> hist;
+    std::vector<Level<T>> hist;
 
     auto extend = [&](int64_t h, int64_t v) -> int64_t {
         // LCP from (h query, v target); 8-byte fast path
@@ -172,19 +192,20 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
     int64_t lo0 = -(tb < n ? tb : n);
     int64_t hi0 = (qb < m ? qb : m);
     {
-        Level L;
+        Level<T> L;
         L.lo = (int32_t)lo0;
         L.n = (int32_t)(hi0 - lo0 + 1);
-        L.M = arena.alloc_fill(L.n, NEG);
+        L.M = arena.alloc_fill<T>(L.n, NEG);
         for (int64_t k = lo0; k <= hi0; k++) {
             int64_t h = k > 0 ? k : 0;
             int64_t v = h - k;
-            L.M[k - lo0] = (int32_t)(h + extend(h, v));
+            L.M[k - lo0] = (T)(h + extend(h, v));
         }
         hist.push_back(L);
     }
 
-    auto find_end = [&](const Level &L, int64_t *ek, int64_t *eh) -> bool {
+    auto find_end = [&](const Level<T> &L, int64_t *ek,
+                        int64_t *eh) -> bool {
         if (L.n == 0 || !L.M) return false;
         // An accepting cell needs h==m (k in [m-n, m-n+te]) or v==n
         // (k in [m-n-qe, m-n]) — scan only that diagonal window, in
@@ -225,78 +246,74 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
             int64_t s;
             size_t off;
         } srcs[7] = {
-            {s - x, offsetof(Level, M)},
-            {s - o1 - e1, offsetof(Level, M)},
-            {s - o2 - e2, offsetof(Level, M)},
-            {s - e1, offsetof(Level, I1)},
-            {s - e2, offsetof(Level, I2)},
-            {s - e1, offsetof(Level, D1)},
-            {s - e2, offsetof(Level, D2)},
+            {s - x, offsetof(Level<T>, M)},
+            {s - o1 - e1, offsetof(Level<T>, M)},
+            {s - o2 - e2, offsetof(Level<T>, M)},
+            {s - e1, offsetof(Level<T>, I1)},
+            {s - e2, offsetof(Level<T>, I2)},
+            {s - e1, offsetof(Level<T>, D1)},
+            {s - e2, offsetof(Level<T>, D2)},
         };
         for (auto &sc : srcs) {
             if (sc.s < 0 || sc.s >= (int64_t)hist.size()) continue;
-            const Level &L = hist[(size_t)sc.s];
+            const Level<T> &L = hist[(size_t)sc.s];
             if (L.n == 0) continue;
-            const int32_t *a =
-                *(int32_t *const *)((const char *)&L + sc.off);
+            const T *a = *(T *const *)((const char *)&L + sc.off);
             if (!a) continue;
             if (L.lo < lo) lo = L.lo;
             if (L.lo + L.n - 1 > hi) hi = L.lo + L.n - 1;
         }
         if (lo == INT64_MAX) {
-            hist.push_back(Level{});  // absent level
+            hist.push_back(Level<T>{});  // absent level
             continue;
         }
         lo -= 1;
         hi += 1;
         int64_t nk = hi - lo + 1;
 
-        Level L;
+        Level<T> L;
         L.lo = (int32_t)lo;
         L.n = (int32_t)nk;
         // presence mirrors wfa_vec's None-propagation: a state's array
         // exists iff any of its sources exist
-        bool has_mo1 = false, has_mo2 = false, has_i1e = false,
-             has_i2e = false, has_d1e = false, has_d2e = false,
-             has_mx = false;
         auto level_has = [&](int64_t ss, size_t off) -> bool {
             if (ss < 0 || ss >= (int64_t)hist.size()) return false;
-            const Level &P = hist[(size_t)ss];
+            const Level<T> &P = hist[(size_t)ss];
             if (P.n == 0) return false;
-            return *(int32_t *const *)((const char *)&P + off) != nullptr;
+            return *(T *const *)((const char *)&P + off) != nullptr;
         };
-        has_mx = level_has(s - x, offsetof(Level, M));
-        has_mo1 = level_has(s - o1 - e1, offsetof(Level, M));
-        has_mo2 = level_has(s - o2 - e2, offsetof(Level, M));
-        has_i1e = level_has(s - e1, offsetof(Level, I1));
-        has_i2e = level_has(s - e2, offsetof(Level, I2));
-        has_d1e = level_has(s - e1, offsetof(Level, D1));
-        has_d2e = level_has(s - e2, offsetof(Level, D2));
+        bool has_mx = level_has(s - x, offsetof(Level<T>, M));
+        bool has_mo1 = level_has(s - o1 - e1, offsetof(Level<T>, M));
+        bool has_mo2 = level_has(s - o2 - e2, offsetof(Level<T>, M));
+        bool has_i1e = level_has(s - e1, offsetof(Level<T>, I1));
+        bool has_i2e = level_has(s - e2, offsetof(Level<T>, I2));
+        bool has_d1e = level_has(s - e1, offsetof(Level<T>, D1));
+        bool has_d2e = level_has(s - e2, offsetof(Level<T>, D2));
         bool has_i1 = has_mo1 || has_i1e;
         bool has_i2 = has_mo2 || has_i2e;
         bool has_d1 = has_mo1 || has_d1e;
         bool has_d2 = has_mo2 || has_d2e;
         bool has_m = has_mx || has_i1 || has_i2 || has_d1 || has_d2;
-        if (has_i1) L.I1 = arena.alloc_raw(L.n);
-        if (has_i2) L.I2 = arena.alloc_raw(L.n);
-        if (has_d1) L.D1 = arena.alloc_raw(L.n);
-        if (has_d2) L.D2 = arena.alloc_raw(L.n);
-        if (has_m) L.M = arena.alloc_raw(L.n);
+        if (has_i1) L.I1 = arena.alloc_raw<T>(L.n);
+        if (has_i2) L.I2 = arena.alloc_raw<T>(L.n);
+        if (has_d1) L.D1 = arena.alloc_raw<T>(L.n);
+        if (has_d2) L.D2 = arena.alloc_raw<T>(L.n);
+        if (has_m) L.M = arena.alloc_raw<T>(L.n);
 
-        // Fused single-pass combines. Same max recurrences as the old
-        // fill/max/add multi-pass (bit-identical by construction: fill
-        // NEG + copy + max + guarded add == max(a,b) > NEG ? +inc :
-        // NEG); one write per lane instead of four, no NEG pre-fill.
+        // Fused single-pass combines. Same max recurrences as a
+        // fill/max/add multi-pass (fill NEG + copy + max + guarded add
+        // == max(a,b) > NEG ? +inc : NEG); one write per lane, no NEG
+        // pre-fill.
         struct View {
-            const int32_t *p = nullptr;
+            const T *p = nullptr;
             int64_t lo = 0, n = 0;
         };
         auto view = [&](int64_t ss, size_t off) -> View {
             View v;
             if (ss < 0 || ss >= (int64_t)hist.size()) return v;
-            const Level &P = hist[(size_t)ss];
+            const Level<T> &P = hist[(size_t)ss];
             if (P.n == 0) return v;
-            const int32_t *a = *(int32_t *const *)((const char *)&P + off);
+            const T *a = *(T *const *)((const char *)&P + off);
             if (!a) return v;
             v.p = a;
             v.lo = P.lo;
@@ -307,8 +324,8 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         // absent/NEG); both sources share the shift, so the [0,nk)
         // range splits into <=5 contiguous segments by which sources
         // cover them — every inner loop is a contiguous vector op.
-        auto combine2 = [&](int32_t *dst, View va, View vb, int64_t shift,
-                            int32_t inc) {
+        auto combine2 = [&](T *dst, View va, View vb, int64_t shift,
+                            T inc) {
             int64_t a0 = nk, a1 = -1, b0 = nk, b1 = -1;
             if (va.p) {
                 a0 = va.lo - shift - lo;
@@ -337,56 +354,55 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                 bool ina = s0 >= a0 && s0 <= a1;
                 bool inb = s0 >= b0 && s0 <= b1;
                 if (ina && inb) {
-                    const int32_t *pa = va.p + (lo + s0 + shift - va.lo);
-                    const int32_t *pb = vb.p + (lo + s0 + shift - vb.lo);
+                    const T *pa = va.p + (lo + s0 + shift - va.lo);
+                    const T *pb = vb.p + (lo + s0 + shift - vb.lo);
                     for (int64_t i = s0; i < s1; i++) {
-                        int32_t v = pa[i - s0] > pb[i - s0] ? pa[i - s0]
-                                                            : pb[i - s0];
-                        dst[i] = v > NEG ? v + inc : NEG;
+                        T v = pa[i - s0] > pb[i - s0] ? pa[i - s0]
+                                                      : pb[i - s0];
+                        dst[i] = v > NEG ? (T)(v + inc) : NEG;
                     }
                 } else if (ina) {
-                    const int32_t *pa = va.p + (lo + s0 + shift - va.lo);
+                    const T *pa = va.p + (lo + s0 + shift - va.lo);
                     for (int64_t i = s0; i < s1; i++) {
-                        int32_t v = pa[i - s0];
-                        dst[i] = v > NEG ? v + inc : NEG;
+                        T v = pa[i - s0];
+                        dst[i] = v > NEG ? (T)(v + inc) : NEG;
                     }
                 } else if (inb) {
-                    const int32_t *pb = vb.p + (lo + s0 + shift - vb.lo);
+                    const T *pb = vb.p + (lo + s0 + shift - vb.lo);
                     for (int64_t i = s0; i < s1; i++) {
-                        int32_t v = pb[i - s0];
-                        dst[i] = v > NEG ? v + inc : NEG;
+                        T v = pb[i - s0];
+                        dst[i] = v > NEG ? (T)(v + inc) : NEG;
                     }
                 } else {
                     for (int64_t i = s0; i < s1; i++) dst[i] = NEG;
                 }
             }
         };
-        View vMx = view(s - x, offsetof(Level, M));
-        View vMo1 = view(s - o1 - e1, offsetof(Level, M));
-        View vMo2 = view(s - o2 - e2, offsetof(Level, M));
-        View vI1 = view(s - e1, offsetof(Level, I1));
-        View vI2 = view(s - e2, offsetof(Level, I2));
-        View vD1 = view(s - e1, offsetof(Level, D1));
-        View vD2 = view(s - e2, offsetof(Level, D2));
-        if (has_i1) combine2(L.I1, vMo1, vI1, -1, +1);
-        if (has_i2) combine2(L.I2, vMo2, vI2, -1, +1);
-        if (has_d1) combine2(L.D1, vMo1, vD1, +1, 0);
-        if (has_d2) combine2(L.D2, vMo2, vD2, +1, 0);
+        View vMx = view(s - x, offsetof(Level<T>, M));
+        View vMo1 = view(s - o1 - e1, offsetof(Level<T>, M));
+        View vMo2 = view(s - o2 - e2, offsetof(Level<T>, M));
+        View vI1 = view(s - e1, offsetof(Level<T>, I1));
+        View vI2 = view(s - e2, offsetof(Level<T>, I2));
+        View vD1 = view(s - e1, offsetof(Level<T>, D1));
+        View vD2 = view(s - e2, offsetof(Level<T>, D2));
+        if (has_i1) combine2(L.I1, vMo1, vI1, -1, (T)1);
+        if (has_i2) combine2(L.I2, vMo2, vI2, -1, (T)1);
+        if (has_d1) combine2(L.D1, vMo1, vD1, +1, (T)0);
+        if (has_d2) combine2(L.D2, vMo2, vD2, +1, (T)0);
         if (has_m) {
             // best = max(Mx[k]+1, I1, I2, D1, D2) into L.M (in place),
             // branch-free vector passes; then one scalar extend pass.
-            int32_t *best = L.M;
-            const int32_t *pi1 = L.I1, *pi2 = L.I2, *pd1 = L.D1,
-                          *pd2 = L.D2;
+            T *best = L.M;
+            const T *pi1 = L.I1, *pi2 = L.I2, *pd1 = L.D1, *pd2 = L.D2;
             if (pi1 && pi2 && pd1 && pd2) {   // common steady state
                 for (int64_t i = 0; i < nk; i++) {
-                    int32_t a = pi1[i] > pi2[i] ? pi1[i] : pi2[i];
-                    int32_t b = pd1[i] > pd2[i] ? pd1[i] : pd2[i];
+                    T a = pi1[i] > pi2[i] ? pi1[i] : pi2[i];
+                    T b = pd1[i] > pd2[i] ? pd1[i] : pd2[i];
                     best[i] = a > b ? a : b;
                 }
             } else {
                 for (int64_t i = 0; i < nk; i++) best[i] = NEG;
-                for (const int32_t *pg : {pi1, pi2, pd1, pd2}) {
+                for (const T *pg : {pi1, pi2, pd1, pd2}) {
                     if (!pg) continue;
                     for (int64_t i = 0; i < nk; i++)
                         if (pg[i] > best[i]) best[i] = pg[i];
@@ -397,15 +413,15 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                 int64_t x1 = vMx.lo + vMx.n - 1 - lo;
                 if (x0 < 0) x0 = 0;
                 if (x1 > nk - 1) x1 = nk - 1;
-                const int32_t *px = vMx.p + (lo + x0 - vMx.lo);
+                const T *px = vMx.p + (lo + x0 - vMx.lo);
                 for (int64_t i = x0; i <= x1; i++) {
-                    int32_t v = px[i - x0];
-                    int32_t w = v > NEG ? v + 1 : NEG;
+                    T v = px[i - x0];
+                    T w = v > NEG ? (T)(v + 1) : NEG;
                     if (w > best[i]) best[i] = w;
                 }
             }
             for (int64_t i = 0; i < nk; i++) {
-                int32_t b = best[i];
+                T b = best[i];
                 if (b <= NEG) {
                     L.M[i] = NEG;
                     continue;
@@ -417,7 +433,7 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                     L.M[i] = NEG;
                     continue;
                 }
-                L.M[i] = (int32_t)(h + extend(h, v));
+                L.M[i] = (T)(h + extend(h, v));
             }
         }
         hist.push_back(L);
@@ -425,11 +441,10 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
     }
 
     // ---- backtrace (identical rules to wfa_vec._backtrace) -------------
-    Getter g{hist};
+    Getter<T> g{hist};
     Emitter em;
     int64_t k = end_k, h = end_h;
     int64_t v = h - k;
-    int64_t sc = s;
     *out_score = s;
     if (h == m && v < n)
         em.emit(n - v, 'D');
@@ -449,13 +464,13 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                     em.emit(k, 'I');
                 break;
             }
-            int32_t mm = g.M(s - x, k);
-            int32_t cx = mm > NEG ? mm + 1 : NEG;
-            int32_t ci1 = g.I1(s, k);
-            int32_t ci2 = g.I2(s, k);
-            int32_t cd1 = g.D1(s, k);
-            int32_t cd2 = g.D2(s, k);
-            int32_t pre = cx;
+            int64_t mm = g.M(s - x, k);
+            int64_t cx = mm > NEG ? mm + 1 : NEG;
+            int64_t ci1 = g.I1(s, k);
+            int64_t ci2 = g.I2(s, k);
+            int64_t cd1 = g.D1(s, k);
+            int64_t cd2 = g.D2(s, k);
+            int64_t pre = cx;
             if (ci1 > pre) pre = ci1;
             if (ci2 > pre) pre = ci2;
             if (cd1 > pre) pre = cd1;
@@ -479,8 +494,8 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
             int64_t o = state == 1 ? o1 : o2;
             int64_t e = state == 1 ? e1 : e2;
             em.emit(1, 'I');
-            int32_t open_ = g.M(s - o - e, k - 1);
-            int32_t ext = state == 1 ? g.I1(s - e, k - 1)
+            int64_t open_ = g.M(s - o - e, k - 1);
+            int64_t ext = state == 1 ? g.I1(s - e, k - 1)
                                      : g.I2(s - e, k - 1);
             if (open_ > NEG && open_ + 1 == h) {
                 s -= o + e;
@@ -498,8 +513,8 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
             int64_t o = state == 3 ? o1 : o2;
             int64_t e = state == 3 ? e1 : e2;
             em.emit(1, 'D');
-            int32_t open_ = g.M(s - o - e, k + 1);
-            int32_t ext = state == 3 ? g.D1(s - e, k + 1)
+            int64_t open_ = g.M(s - o - e, k + 1);
+            int64_t ext = state == 3 ? g.D1(s - e, k + 1)
                                      : g.D2(s - e, k + 1);
             if (open_ > NEG && open_ == h) {
                 s -= o + e;
@@ -522,8 +537,30 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
         out[i] = (em.counts[(size_t)j] << 8) |
                  (int64_t)(uint8_t)em.ops[(size_t)j];
     }
-    (void)sc;
     return n_ops;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns: number of RLE ops written to out (packed (count<<8)|op_char),
+// with *out_score set; -1 if max_score exceeded (caller returns
+// (None, None)); -2 if out capacity insufficient (caller falls back);
+// -3 on convergence failure (caller raises, matching wfa_vec).
+int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
+                         int64_t n, int32_t x, int32_t o1, int32_t e1,
+                         int32_t o2, int32_t e2, int64_t tb, int64_t te,
+                         int64_t qb, int64_t qe, int64_t max_score,
+                         int64_t *out, int64_t cap, int64_t *out_score) {
+    // int16 lanes when every stored offset (<= m) fits comfortably;
+    // identical arithmetic, half the memory traffic, double SIMD width
+    if (m < 32000 && n < 32000)
+        return wfa_align_impl<int16_t>(q, m, t, n, x, o1, e1, o2, e2, tb,
+                                       te, qb, qe, max_score, out, cap,
+                                       out_score);
+    return wfa_align_impl<int32_t>(q, m, t, n, x, o1, e1, o2, e2, tb, te,
+                                   qb, qe, max_score, out, cap, out_score);
 }
 
 }  // extern "C"
