@@ -108,6 +108,81 @@ def test_native_l1l2_bit_identical():
                 for m in l2p]
 
 
+def test_native_l1_sweep_multi_matches_per_group():
+    """l1_sweep_multi (one call, all groups + join) vs the per-group
+    compute_l1_candidate_regions loop it replaced (engine._host_l1)."""
+    import numpy as np
+
+    import wfmash_tpu.native as native
+    from wfmash_tpu.index.build import build_index
+    from wfmash_tpu.map import l1l2
+    from wfmash_tpu.map.stats import compute_sketch_cutoffs
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.sketch.minhash import sketch_fragment
+    from util import random_dna
+
+    if native.get_l1l2_lib() is None:
+        import pytest
+
+        pytest.skip("native l1l2 unavailable")
+
+    rng = np.random.default_rng(17)
+    mp = MapParams(percentage_identity=0.85, auto_pct_identity=False,
+                   window_length=500, kmer_size=15)
+    mp.ref_sequences = mp.query_sequences = ["x"]
+    mp = mp.finalize()
+    base = random_dna(rng, 24_000)
+    # several sequences -> several groups (group = seq_id here)
+    seqs = [(0, base[:12_000]), (1, base[6_000:18_000]),
+            (2, base[10_000:24_000]), (3, base[2_000:9_000])]
+    index = build_index(mp, seqs, log=lambda m: None)
+    cutoffs = compute_sketch_cutoffs(mp.sketch_size, mp.kmer_size,
+                                     0.0, 0.999)
+    group_of = lambda ids: np.asarray(ids)  # one group per seq
+
+    for trial in range(8):
+        start = int(rng.integers(0, 23_000))
+        fa = np.frombuffer(base[start:start + 700], np.uint8).copy()
+        mut = rng.random(len(fa)) < 0.04
+        fa[mut] = rng.integers(65, 69, int(mut.sum()))
+        frag = fa.tobytes()
+        sk = sketch_fragment(frag, mp.kmer_size, mp.sketch_size)
+        if sk.sketch_size == 0:
+            continue
+        pts = l1l2.get_seed_interval_points(sk, index, 99, 99,
+                                            group_of, mp)
+        n = len(pts)
+        if n == 0:
+            continue
+        window_len = max(0, len(frag) - mp.window_length)
+
+        # reference: per-group loop through the spec entry point
+        groups = group_of(pts["seq_id"])
+        ref: list = []
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and groups[j] == groups[i]:
+                j += 1
+            l1l2.compute_l1_candidate_regions(
+                sk.sketch_size, len(frag), pts[i:j], 2, mp, cutoffs, ref)
+            i = j
+
+        cut = np.flatnonzero(groups[1:] != groups[:-1]) + 1
+        grp_b = np.concatenate(([0], cut, [n])).astype(np.int64)
+        got = native.l1_sweep_multi_native(
+            np.ascontiguousarray(pts["pos"], dtype=np.int64),
+            np.ascontiguousarray(pts["seq_id"], dtype=np.int64),
+            np.ascontiguousarray(pts["side"], dtype=np.int8),
+            np.ascontiguousarray(pts["hash"], dtype=np.uint64),
+            grp_b, window_len, 2, mp.stage1_topANI_filter,
+            mp.stage2_full_scan, sk.sketch_size,
+            max(1.0, mp.sketch_size / 1000.0), cutoffs,
+            mp.window_length)
+        assert got == [(c.seq_id, c.range_start, c.range_end,
+                        c.intersection_size) for c in ref]
+
+
 def test_native_lis_chain_bit_identical():
     """Native LIS vs the Python patience-sort spec, including ties."""
     import numpy as np

@@ -127,11 +127,41 @@ class Mapper:
             sketch, index, query_seq_id, query_group, self.group_of, p
         )
         l1: list[L1Candidate] = []
-        if len(pts) == 0:
+        n = len(pts)
+        if n == 0:
             return l1
+
+        # native fast path: ONE call covers every target group's sweep
+        # plus the proximal join (the per-group ctypes loop was ~12k
+        # calls per LPA run and dominated the mapping wall)
+        from ..native import l1_sweep_multi_native
+
+        if p.skip_prefix:
+            groups = np.asarray(self.group_of(pts["seq_id"]))
+            cut = np.flatnonzero(groups[1:] != groups[:-1]) + 1
+            grp_b = np.empty(len(cut) + 2, np.int64)
+            grp_b[0] = 0
+            grp_b[1:-1] = cut
+            grp_b[-1] = n
+        else:
+            grp_b = np.array([0, n], np.int64)
+        nat = l1_sweep_multi_native(
+            np.ascontiguousarray(pts["pos"], dtype=np.int64),
+            np.ascontiguousarray(pts["seq_id"], dtype=np.int64),
+            np.ascontiguousarray(pts["side"], dtype=np.int8),
+            np.ascontiguousarray(pts["hash"], dtype=np.uint64),
+            grp_b, max(0, q_len - p.window_length), minimum_hits,
+            p.stage1_topANI_filter, p.stage2_full_scan,
+            sketch.sketch_size, max(1.0, p.sketch_size / 1000.0),
+            self.sketch_cutoffs, p.window_length)
+        if nat is not None:
+            return [L1Candidate(seq_id=a, range_start=b, range_end=c,
+                                intersection_size=d)
+                    for (a, b, c, d) in nat]
+
+        # Python fallback: per-group spec sweep
         groups = self.group_of(pts["seq_id"])
         i = 0
-        n = len(pts)
         while i < n:
             j = i + 1
             if p.skip_prefix:

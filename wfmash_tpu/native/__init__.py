@@ -183,6 +183,16 @@ def get_l1l2_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         vp, ctypes.c_int64,
     ]
+    lib.l1_sweep_multi.restype = ctypes.c_int64
+    lib.l1_sweep_multi.argtypes = [
+        vp, vp, vp, vp,
+        vp, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_double,
+        vp, ctypes.c_int64,
+        ctypes.c_int64,
+        vp, vp, vp, vp, ctypes.c_int64,
+    ]
     _lib2 = lib
     return _lib2
 
@@ -224,6 +234,49 @@ def l1_sweep_native(pos, seq, side, hashes, window_len, minimum_hits,
 import threading as _threading
 
 _tls = _threading.local()
+
+_cut32_cache: tuple | None = None
+
+
+def _cut32(sketch_cutoffs):
+    """sketch_cutoffs is the same table every call — convert once."""
+    global _cut32_cache
+    if _cut32_cache is None or _cut32_cache[0] is not sketch_cutoffs:
+        _cut32_cache = (sketch_cutoffs, np.ascontiguousarray(
+            sketch_cutoffs, dtype=np.int32))
+    return _cut32_cache[1]
+
+
+def l1_sweep_multi_native(pos, seq, side, hashes, grp_b, window_len,
+                          minimum_hits, stage1_filter, stage2_full_scan,
+                          sketch_size, cutoff_div, sketch_cutoffs,
+                          cluster_len):
+    """One call per FRAGMENT: per-group sweeps + the proximal join run
+    natively (l1l2.cpp:l1_sweep_multi). Returns a list of
+    (seq, start, end, intersection) or None when the lib is absent."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    n = len(pos)
+    cap = max(16, n)
+    scr = getattr(_tls, "l1", None)
+    if scr is None or len(scr[0]) < cap:
+        scr = tuple(np.empty(cap, np.int64) for _ in range(4))
+        _tls.l1 = scr
+    o_seq, o_start, o_end, o_inter = scr
+    cut32 = _cut32(sketch_cutoffs)
+    m = lib.l1_sweep_multi(
+        _ptr(pos), _ptr(seq), _ptr(side), _ptr(hashes),
+        _ptr(grp_b), len(grp_b) - 1,
+        window_len, minimum_hits, int(stage1_filter),
+        int(stage2_full_scan), sketch_size, float(cutoff_div),
+        _ptr(cut32), len(cut32), cluster_len,
+        _ptr(o_seq), _ptr(o_start), _ptr(o_end), _ptr(o_inter), cap,
+    )
+    if m < 0:
+        return None
+    return [(int(o_seq[i]), int(o_start[i]), int(o_end[i]), int(o_inter[i]))
+            for i in range(m)]
 
 
 def l2_walk_native(soa, cand_seq, range_start, range_end,

@@ -136,6 +136,58 @@ int64_t l1_sweep(const int64_t* pos, const int64_t* seq, const int8_t* side,
     return n_out;
 }
 
+// l1_sweep over MANY group subranges in one call (the Python driver
+// previously made one ctypes call per target group per fragment —
+// ~12k calls on LPA; the loop + glue dominated the mapping wall).
+// grp_b holds n_groups+1 boundaries into the endpoint arrays. Each
+// group runs the exact single-group sweep (minimum_hits re-derived
+// from the same base), then one in-place pass applies the proximal
+// join (mappingCore.hpp:287-300) across the concatenated results —
+// identical to the per-call join since candidates are emitted in the
+// same order and only consecutive same-seq candidates ever merge.
+int64_t l1_sweep_multi(const int64_t* pos, const int64_t* seq,
+                       const int8_t* side, const uint64_t* hash,
+                       const int64_t* grp_b, int64_t n_groups,
+                       int64_t window_len, int64_t minimum_hits,
+                       int stage1_filter, int stage2_full_scan,
+                       int64_t sketch_size, double cutoff_div,
+                       const int32_t* sketch_cutoffs, int64_t n_cutoffs,
+                       int64_t cluster_len,
+                       int64_t* out_seq, int64_t* out_start,
+                       int64_t* out_end, int64_t* out_inter, int64_t cap) {
+    int64_t n_out = 0;
+    for (int64_t g = 0; g < n_groups; g++) {
+        int64_t b = grp_b[g], e = grp_b[g + 1];
+        if (e <= b) continue;
+        int64_t got = l1_sweep(pos + b, seq + b, side + b, hash + b,
+                               e - b, window_len, minimum_hits,
+                               stage1_filter, stage2_full_scan,
+                               sketch_size, cutoff_div, sketch_cutoffs,
+                               n_cutoffs, out_seq + n_out,
+                               out_start + n_out, out_end + n_out,
+                               out_inter + n_out, cap - n_out);
+        if (got < 0) return -1;
+        n_out += got;
+    }
+    // proximal join, in place
+    int64_t w = 0;
+    for (int64_t i = 0; i < n_out; i++) {
+        if (w > 0 && out_seq[i] == out_seq[w - 1] &&
+            out_start[i] <= out_end[w - 1] + cluster_len) {
+            out_end[w - 1] = out_end[i];
+            out_inter[w - 1] =
+                std::max(out_inter[w - 1], out_inter[i]);
+        } else {
+            out_seq[w] = out_seq[i];
+            out_start[w] = out_start[i];
+            out_end[w] = out_end[i];
+            out_inter[w] = out_inter[i];
+            w += 1;
+        }
+    }
+    return w;
+}
+
 // ---------------------------------------------------------------------------
 
 struct Slide {
