@@ -31,6 +31,7 @@ from ..params import (
     FILTER_MAP,
     FILTER_ONETOONE,
     MapParams,
+    STRAND_FWD,
     STRAND_REV,
     fixed,
 )
@@ -47,6 +48,7 @@ from .filters import (
 from .l1l2 import (
     FLAG_REV,
     L1Candidate,
+    L2Mapping,
     MAPPING_DTYPE,
     compute_l1_candidate_regions,
     compute_l2_mapped_regions,
@@ -206,6 +208,18 @@ class Mapper:
         if l2_of is not None:
             of_cand = {id(c): r for c, r in zip(l1, l2_of)}
         out = []
+        # the topANI cutoff is CONSTANT across the fragment
+        # (index.hg_numerator is a parameter, never mutated), so the
+        # sorted-order break equals a prefix filter — compute once
+        cutoff_j = None
+        if p.stage1_topANI_filter:
+            jaccard_sim = index.hg_numerator / sketch.sketch_size
+            mash_dist = stats.j2md(jaccard_sim, p.kmer_size)
+            cutoff_ani = max(0.0, (1.0 - mash_dist) - p.ANIDiff)
+            cutoff_j = stats.md2j(1.0 - cutoff_ani, p.kmer_size)
+
+        # per-group sort + cutoff prefix -> one flat candidate list
+        sel: list = []
         b = 0
         nl1 = len(l1)
         while b < nl1:
@@ -222,55 +236,81 @@ class Mapper:
                     group_cands, key=lambda c: -c.intersection_size
                 )
             for cand in group_cands:
-                if p.stage1_topANI_filter:
-                    jaccard_sim = index.hg_numerator / sketch.sketch_size
-                    mash_dist = stats.j2md(jaccard_sim, p.kmer_size)
-                    cutoff_ani = max(0.0, (1.0 - mash_dist) - p.ANIDiff)
-                    cutoff_j = stats.md2j(1.0 - cutoff_ani, p.kmer_size)
-                    if cand.intersection_size / sketch.sketch_size < cutoff_j:
-                        break
-                l2s = of_cand.get(id(cand))
-                if l2s is None:
-                    l2s = compute_l2_mapped_regions(sketch, q_len, cand,
-                                                    index, p)
-                for l2 in l2s:
-                    mash_dist = stats.j2md(
-                        float(np.float32(1.0 * l2.shared_sketch_size / sketch.sketch_size)),
-                        p.kmer_size,
-                    )
-                    nuc_identity = float(np.float32(1.0 - float(np.float32(mash_dist))))
-                    nuc_id_ub = float(
-                        np.float32(
-                            1.0
-                            - float(
-                                np.float32(
-                                    stats.md_lower_bound(
-                                        mash_dist, sketch.sketch_size, p.kmer_size,
-                                        fixed.confidence_interval,
-                                    )
+                if (cutoff_j is not None and cand.intersection_size
+                        / sketch.sketch_size < cutoff_j):
+                    break
+                sel.append(cand)
+            b = e
+
+        # batched native L2: one call for every selected candidate
+        # (l2_walk_multi); falls back to the per-candidate spec path
+        l2s_of: list | None = None
+        if of_cand or not sel:
+            pass
+        else:
+            from ..native import l2_walk_multi_native
+
+            rows = l2_walk_multi_native(
+                index.soa(),
+                np.asarray([c.seq_id for c in sel], np.int64),
+                np.asarray([c.range_start for c in sel], np.int64),
+                np.asarray([c.range_end for c in sel], np.int64),
+                np.ascontiguousarray(sketch.hashes, np.uint64),
+                np.ascontiguousarray(sketch.strand, np.int8),
+                max(0, q_len - p.window_length), p.window_length)
+            if rows is not None:
+                l2s_of = [
+                    [L2Mapping(seq_id=a, mean_optimal_pos=bb,
+                               optimal_start=c, optimal_end=d,
+                               shared_sketch_size=ee,
+                               strand=STRAND_FWD if f > 0 else STRAND_REV)
+                     for (a, bb, c, d, ee, f) in r]
+                    for r in rows]
+
+        for ci, cand in enumerate(sel):
+            l2s = of_cand.get(id(cand))
+            if l2s is None and l2s_of is not None:
+                l2s = l2s_of[ci]
+            if l2s is None:
+                l2s = compute_l2_mapped_regions(sketch, q_len, cand,
+                                                index, p)
+            for l2 in l2s:
+                mash_dist = stats.j2md(
+                    float(np.float32(1.0 * l2.shared_sketch_size / sketch.sketch_size)),
+                    p.kmer_size,
+                )
+                nuc_identity = float(np.float32(1.0 - float(np.float32(mash_dist))))
+                nuc_id_ub = float(
+                    np.float32(
+                        1.0
+                        - float(
+                            np.float32(
+                                stats.md_lower_bound(
+                                    mash_dist, sketch.sketch_size, p.kmer_size,
+                                    fixed.confidence_interval,
                                 )
                             )
                         )
                     )
-                    if (
-                        p.keep_low_pct_id
-                        and np.float32(nuc_id_ub) >= np.float32(p.percentage_identity)
-                    ) or np.float32(nuc_identity) >= np.float32(p.percentage_identity):
-                        flags = FLAG_REV if l2.strand == STRAND_REV else 0
-                        out.append(
-                            (
-                                l2.seq_id,
-                                l2.mean_optimal_pos,
-                                frag_index * p.window_length,  # query start
-                                q_len,
-                                1,
-                                l2.shared_sketch_size,
-                                scale_identity(nuc_identity),
-                                flags,
-                                scale_complexity(sketch.kmer_complexity),
-                            )
+                )
+                if (
+                    p.keep_low_pct_id
+                    and np.float32(nuc_id_ub) >= np.float32(p.percentage_identity)
+                ) or np.float32(nuc_identity) >= np.float32(p.percentage_identity):
+                    flags = FLAG_REV if l2.strand == STRAND_REV else 0
+                    out.append(
+                        (
+                            l2.seq_id,
+                            l2.mean_optimal_pos,
+                            frag_index * p.window_length,  # query start
+                            q_len,
+                            1,
+                            l2.shared_sketch_size,
+                            scale_identity(nuc_identity),
+                            flags,
+                            scale_complexity(sketch.kmer_complexity),
                         )
-            b = e
+                    )
         return out
 
     def _fragments(self, seq: bytes):

@@ -193,6 +193,15 @@ def get_l1l2_lib():
         ctypes.c_int64,
         vp, vp, vp, vp, ctypes.c_int64,
     ]
+    lib.l2_walk_multi.restype = ctypes.c_int64
+    lib.l2_walk_multi.argtypes = [
+        vp, vp, vp, vp, vp,
+        ctypes.c_int64,
+        vp, vp, vp, ctypes.c_int64,
+        vp, vp,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        vp, ctypes.c_int64, vp,
+    ]
     _lib2 = lib
     return _lib2
 
@@ -305,6 +314,44 @@ def l2_walk_native(soa, cand_seq, range_start, range_end,
         return None
     r = out[:m * 6].reshape(m, 6)
     return [tuple(int(v) for v in row) for row in r]
+
+
+def l2_walk_multi_native(soa, cand_seq, range_start, range_end,
+                         q_hashes, q_strand, window_len, w):
+    """One call per FRAGMENT: the L2 walk over every candidate
+    (l1l2.cpp:l2_walk_multi). cand_seq/range_start/range_end are
+    parallel int64 arrays. Returns a list (per candidate) of lists of
+    6-int tuples, or None when the lib is absent / capacity overflows."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    mi_hash, mi_wpos, mi_wend, mi_seq, mi_strand = soa
+    nc = len(cand_seq)
+    cap = max(4096, 64 * nc)
+    scr = getattr(_tls, "l2m", None)
+    if scr is None or len(scr[0]) < cap * 6 or len(scr[1]) < nc:
+        scr = (np.empty(max(cap, 4096) * 6, np.int64),
+               np.empty(max(nc, 64), np.int64))
+        _tls.l2m = scr
+    out, counts = scr
+    m = lib.l2_walk_multi(
+        _ptr(mi_hash), _ptr(mi_wpos), _ptr(mi_wend), _ptr(mi_seq),
+        _ptr(mi_strand), len(mi_hash),
+        _ptr(cand_seq), _ptr(range_start), _ptr(range_end), nc,
+        _ptr(q_hashes), _ptr(q_strand),
+        len(q_hashes), window_len, w,
+        _ptr(out), len(out) // 6, _ptr(counts),
+    )
+    if m < 0:
+        return None
+    res = []
+    o = 0
+    for c in range(nc):
+        k = int(counts[c])
+        rows = out[o * 6:(o + k) * 6].reshape(k, 6)
+        res.append([tuple(int(v) for v in row) for row in rows])
+        o += k
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -386,4 +386,30 @@ int64_t l2_walk(const uint64_t* mi_hash, const int64_t* mi_wpos,
     return n_out;
 }
 
+// l2_walk over MANY candidates in one call (one ctypes call per
+// fragment instead of one per candidate — see l1_sweep_multi above).
+// Results concatenate in candidate order; out_counts[i] = number of
+// 6-int rows for candidate i.
+int64_t l2_walk_multi(const uint64_t* mi_hash, const int64_t* mi_wpos,
+                      const int64_t* mi_wend, const int32_t* mi_seq,
+                      const int8_t* mi_strand, int64_t n,
+                      const int64_t* cand_seq, const int64_t* range_start,
+                      const int64_t* range_end, int64_t n_cands,
+                      const uint64_t* q_hashes, const int8_t* q_strand,
+                      int64_t s, int64_t window_len, int64_t w,
+                      int64_t* out, int64_t cap, int64_t* out_counts) {
+    int64_t n_out = 0;
+    for (int64_t c = 0; c < n_cands; c++) {
+        int64_t got = l2_walk(mi_hash, mi_wpos, mi_wend, mi_seq,
+                              mi_strand, n, cand_seq[c], range_start[c],
+                              range_end[c], q_hashes, q_strand, s,
+                              window_len, w, out + 6 * n_out,
+                              cap - n_out);
+        if (got < 0) return -1;
+        out_counts[c] = got;
+        n_out += got;
+    }
+    return n_out;
+}
+
 }  // extern "C"
