@@ -141,3 +141,30 @@ def test_empty_and_tiny():
                         2 * PATCH.gap_opening1 + 2 * PATCH.gap_extension1,
                         PATCH.gap_opening1 + PATCH.gap_extension1
                         + PATCH.gap_opening2 + PATCH.gap_extension2)
+
+
+def test_memory_budget_reroute(monkeypatch):
+    """A block whose exact full-history footprint exceeds
+    WFMASH_TPU_WFA_MEM_MB raises WfaMemoryBudget from the native engine
+    and BudgetedHostEngine reroutes it through the segmented path,
+    producing a replayable alignment instead of an OOM."""
+    import wfmash_tpu.native as native
+    from wfmash_tpu.align.engine import BudgetedHostEngine
+    from wfmash_tpu.params import AlignParams
+
+    if native.get_wfa_lib() is None:
+        pytest.skip("native wfa unavailable")
+    monkeypatch.setenv("WFMASH_TPU_WFA_MEM_MB", "8")
+
+    rng = np.random.default_rng(3)
+    query, target = make_pair(rng, 4000, sub=0.15, indel=0.02)
+    with pytest.raises(native.WfaMemoryBudget):
+        native.wfa_align_ops_native(query, target, PATCH)
+
+    ap = AlignParams(ref_sequences=["x"], query_sequences=["x"],
+                     mashmap_paf_file="x", threads=1)
+    eng = BudgetedHostEngine(PATCH, ap)
+    ops = eng.align(query, target)
+    qc = sum(c for c, op in ops if op in "=XI")
+    tc = sum(c for c, op in ops if op in "=XD")
+    assert (qc, tc) == (len(query), len(target))

@@ -182,7 +182,7 @@ def make_engine(params: AlignParams):
                 log("[wfmash::align] device round-trip latency too high;"
                     " using the native exact engine (override with "
                     "WFMASH_TPU_SEGMENTED=1)")
-                return HostWfaEngine(penalties)
+                return BudgetedHostEngine(penalties, params)
         except Exception:   # pragma: no cover - probe failure
             pass
     try:
@@ -195,31 +195,68 @@ def make_engine(params: AlignParams):
         return HostWfaEngine(penalties)
 
     if seg != "0":
-        import jax
-
-        from .segmented import SegmentedEngine
-        from .wfa_pallas_seg import TieredSegmentSolver
-
-        interp = jax.devices()[0].platform == "cpu"
-        # WFMASH_TPU_ALIGN_MESH: shard segment-kernel batches over all
-        # devices ("auto" = when >1 accelerator device; "force" = also
-        # on the virtual CPU mesh, used by tests/dryrun; "0" = off)
-        mesh = None
-        mm = os.environ.get("WFMASH_TPU_ALIGN_MESH", "auto")
-        n_dev = len(jax.devices())
-        if mm != "0" and n_dev > 1 and (mm == "force" or not interp):
-            import numpy as _np
-            from jax.sharding import Mesh
-
-            mesh = Mesh(_np.asarray(jax.devices()), ("data",))
-        solver = TieredSegmentSolver(penalties, interpret=interp,
-                                     mesh=mesh)
-        seng = SegmentedEngine(penalties, engine, interpret=interp,
-                               solver=solver)
+        seng = _build_segmented(penalties, engine)
         if getattr(params, "strict_parity", False):
             seng.detect_inversions = False
         return seng
     return engine
+
+
+def _build_segmented(penalties, exact_engine):
+    """SegmentedEngine over the tiered kernel solver, mesh-sharded when
+    more than one accelerator device is present."""
+    import os
+
+    import jax
+
+    from .segmented import SegmentedEngine
+    from .wfa_pallas_seg import TieredSegmentSolver
+
+    interp = jax.devices()[0].platform == "cpu"
+    # WFMASH_TPU_ALIGN_MESH: shard segment-kernel batches over all
+    # devices ("auto" = when >1 accelerator device; "force" = also
+    # on the virtual CPU mesh, used by tests/dryrun; "0" = off)
+    mesh = None
+    mm = os.environ.get("WFMASH_TPU_ALIGN_MESH", "auto")
+    n_dev = len(jax.devices())
+    if mm != "0" and n_dev > 1 and (mm == "force" or not interp):
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+    solver = TieredSegmentSolver(penalties, interpret=interp, mesh=mesh)
+    return SegmentedEngine(penalties, exact_engine, interpret=interp,
+                           solver=solver)
+
+
+class BudgetedHostEngine(HostWfaEngine):
+    """Host exact engine with a memory-bounded escape hatch: a block
+    whose full-history footprint would exceed WFMASH_TPU_WFA_MEM_MB
+    raises WfaMemoryBudget from the native engine and is rerouted
+    through the anchored segmented path (bounded per-piece memory)
+    instead — the rare giant/divergent block cannot OOM the host."""
+
+    def __init__(self, penalties, params):
+        super().__init__(penalties)
+        self._params = params
+        self._full = None
+
+    def align(self, query: bytes, target: bytes, ends_free=None):
+        from ..native import WfaMemoryBudget
+
+        try:
+            return super().align(query, target, ends_free)
+        except WfaMemoryBudget:
+            log(f"[wfmash::align] exact history over budget for a "
+                f"{len(query)}x{len(target)} block; segmented reroute")
+            if self._full is None:
+                from .wfa_jax import JaxWfaEngine
+
+                eng = JaxWfaEngine(self.penalties)
+                eng.threads = max(
+                    1, int(getattr(self._params, "threads", 1)))
+                self._full = _build_segmented(self.penalties, eng)
+            return self._full.align(query, target, ends_free)
 
 
 def run_alignment(params: AlignParams, out) -> None:

@@ -471,6 +471,7 @@ def get_wfa_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
         ]
         _lib4 = lib
     except OSError:
@@ -478,12 +479,20 @@ def get_wfa_lib():
     return _lib4
 
 
+class WfaMemoryBudget(MemoryError):
+    """The exact full-history WFA would exceed WFMASH_TPU_WFA_MEM_MB
+    (default 6144): the caller must reroute to a memory-bounded path
+    (segmented / recursive) instead of the Python spec fallback, which
+    has the same O(score^2) footprint."""
+
+
 def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,
                          max_score=None):
     """Native exact WFA. Returns (score, ops), (None, None) when
     max_score is exceeded, or NotImplemented when the native library is
     unavailable (caller falls back to the Python path). Raises
-    RuntimeError on convergence failure (same contract as wfa_vec)."""
+    RuntimeError on convergence failure (same contract as wfa_vec) and
+    WfaMemoryBudget when the history would exceed the memory cap."""
     lib = get_wfa_lib()
     if lib is None:
         return NotImplemented
@@ -495,6 +504,8 @@ def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,
     cap = m + n + 64
     out = np.empty(cap, np.int64)
     score = ctypes.c_int64(0)
+    mem_cap = int(float(os.environ.get(
+        "WFMASH_TPU_WFA_MEM_MB", "6144")) * 1e6)
     r = lib.wfa_align_native(
         bytes(query), m, bytes(target), n,
         p.mismatch, p.gap_opening1, p.gap_extension1,
@@ -502,11 +513,13 @@ def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,
         tb, te, qb, qe,
         -1 if max_score is None else int(max_score),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
-        ctypes.byref(score))
+        ctypes.byref(score), mem_cap)
     if r == -1:
         return None, None
     if r == -2:
         return NotImplemented          # cap overflow: fall back
+    if r == -4:
+        raise WfaMemoryBudget(f"{m}x{n} exact history > {mem_cap} bytes")
     if r < 0:
         raise RuntimeError("WFA failed to converge")
     vals = out[:r]

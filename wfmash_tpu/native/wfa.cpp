@@ -66,12 +66,14 @@ struct Arena {
     std::vector<std::pair<char *, size_t>> chunks;   // (ptr, size)
     size_t cur = 0;   // active chunk index
     size_t off = 0;   // bump offset in active chunk
+    size_t used = 0;  // bytes handed out since reset()
     ~Arena() {
         for (auto &c : chunks) free(c.first);
     }
     void reset() {
         cur = 0;
         off = 0;
+        used = 0;
         size_t tot = 0, keep = 0;
         for (; keep < chunks.size() && tot < MAX_KEEP; keep++)
             tot += chunks[keep].second;
@@ -81,6 +83,7 @@ struct Arena {
     template <typename T>
     T *alloc_raw(int32_t n) {
         size_t need = (sizeof(T) * (size_t)n + 7u) & ~(size_t)7u;
+        used += need;
         while (cur < chunks.size() && chunks[cur].second - off < need) {
             cur++;
             off = 0;
@@ -155,7 +158,8 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                        int64_t n, int32_t x, int32_t o1, int32_t e1,
                        int32_t o2, int32_t e2, int64_t tb, int64_t te,
                        int64_t qb, int64_t qe, int64_t max_score,
-                       int64_t *out, int64_t cap, int64_t *out_score) {
+                       int64_t *out, int64_t cap, int64_t *out_score,
+                       int64_t mem_cap) {
     constexpr T NEG = NegOf<T>::v;
     if (m == 0 && n == 0) {
         *out_score = 0;
@@ -239,6 +243,7 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
         s++;
         if (max_score >= 0 && s > max_score) return -1;
         if (s > score_cap) return -3;
+        if (mem_cap > 0 && (int64_t)arena.used > mem_cap) return -4;
 
         // live range from the seven sources
         int64_t lo = INT64_MAX, hi = INT64_MIN;
@@ -547,20 +552,24 @@ extern "C" {
 // Returns: number of RLE ops written to out (packed (count<<8)|op_char),
 // with *out_score set; -1 if max_score exceeded (caller returns
 // (None, None)); -2 if out capacity insufficient (caller falls back);
-// -3 on convergence failure (caller raises, matching wfa_vec).
+// -3 on convergence failure (caller raises, matching wfa_vec);
+// -4 if the full-history footprint exceeded mem_cap bytes (caller
+// reroutes the job to the memory-bounded segmented/recursive path).
 int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                          int64_t n, int32_t x, int32_t o1, int32_t e1,
                          int32_t o2, int32_t e2, int64_t tb, int64_t te,
                          int64_t qb, int64_t qe, int64_t max_score,
-                         int64_t *out, int64_t cap, int64_t *out_score) {
+                         int64_t *out, int64_t cap, int64_t *out_score,
+                         int64_t mem_cap) {
     // int16 lanes when every stored offset (<= m) fits comfortably;
     // identical arithmetic, half the memory traffic, double SIMD width
     if (m < 32000 && n < 32000)
         return wfa_align_impl<int16_t>(q, m, t, n, x, o1, e1, o2, e2, tb,
                                        te, qb, qe, max_score, out, cap,
-                                       out_score);
+                                       out_score, mem_cap);
     return wfa_align_impl<int32_t>(q, m, t, n, x, o1, e1, o2, e2, tb, te,
-                                   qb, qe, max_score, out, cap, out_score);
+                                   qb, qe, max_score, out, cap, out_score,
+                                   mem_cap);
 }
 
 }  // extern "C"
