@@ -67,7 +67,18 @@ class HostWfaEngine:
         return ops
 
     def align_batch(self, jobs):
-        """jobs: list of (query, target, ends_free|None) -> list of ops."""
+        """jobs: list of (query, target, ends_free|None) -> list of ops.
+
+        The native WFA releases the GIL for the whole call (ctypes) and
+        its history arena is thread-local, so on multi-core hosts the
+        batch fans out over a thread pool (order preserved by map)."""
+        n_threads = int(getattr(self, "threads", 1))
+        if n_threads > 1 and len(jobs) >= 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_threads) as ex:
+                return list(ex.map(
+                    lambda j: self.align(j[0], j[1], j[2]), jobs))
         return [self.align(q, t, ef) for q, t, ef in jobs]
 
 

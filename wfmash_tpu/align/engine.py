@@ -155,9 +155,12 @@ def make_engine(params: AlignParams):
         params.wfa_patching_gap_opening_score2,
         params.wfa_patching_gap_extension_score2,
     )
+    n_threads = max(1, int(getattr(params, "threads", 1)))
     choice = os.environ.get("WFMASH_TPU_WFA_ENGINE", "auto")
     if choice == "host":
-        return HostWfaEngine(penalties)
+        eng = HostWfaEngine(penalties)
+        eng.threads = n_threads
+        return eng
 
     # Anchored segmentation (the TPU-native wflambda, align/segmented.py)
     # is the default for large blocks: thousands of lockstep segment WFAs
@@ -238,6 +241,7 @@ class BudgetedHostEngine(HostWfaEngine):
 
     def __init__(self, penalties, params):
         super().__init__(penalties)
+        self.threads = max(1, int(getattr(params, "threads", 1)))
         self._params = params
         self._full = None
 
