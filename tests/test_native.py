@@ -179,8 +179,23 @@ def test_native_l1_sweep_multi_matches_per_group():
             mp.stage2_full_scan, sk.sketch_size,
             max(1.0, mp.sketch_size / 1000.0), cutoffs,
             mp.window_length)
-        assert got == [(c.seq_id, c.range_start, c.range_end,
-                        c.intersection_size) for c in ref]
+        expect = [(c.seq_id, c.range_start, c.range_end,
+                   c.intersection_size) for c in ref]
+        assert got == expect
+
+        # the fused per-fragment call (gather+filter+sort in C++) must
+        # agree with the same per-group loop
+        starts, ends = index.lookup(sk.hashes)
+        group_arr = np.arange(100, dtype=np.int64)  # group == seq_id
+        frag = native.l1_fragment_native(
+            index.endpoints_soa(),
+            np.ascontiguousarray(starts, np.int64),
+            np.ascontiguousarray(ends, np.int64),
+            group_arr, 99, 99, True, False, True,
+            window_len, 2, mp.stage1_topANI_filter, mp.stage2_full_scan,
+            sk.sketch_size, max(1.0, mp.sketch_size / 1000.0), cutoffs,
+            mp.window_length)
+        assert frag == expect
 
 
 def test_native_lis_chain_bit_identical():

@@ -76,6 +76,21 @@ class MinmerIndex:
             ))
         return self._soa_cache
 
+    _ep_soa_cache = None
+
+    def endpoints_soa(self):
+        """Contiguous column arrays of endpoints for the native
+        per-fragment L1 stage (pos, hash, seq_id, side)."""
+        if self._ep_soa_cache is None:
+            ep = self.endpoints
+            object.__setattr__(self, "_ep_soa_cache", (
+                np.ascontiguousarray(ep["pos"], np.int64),
+                np.ascontiguousarray(ep["hash"], np.uint64),
+                np.ascontiguousarray(ep["seq_id"], np.int32),
+                np.ascontiguousarray(ep["side"], np.int8),
+            ))
+        return self._ep_soa_cache
+
     def lookup(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """For each query hash return (start, end) ranges into endpoints
         (empty range when the hash is absent)."""

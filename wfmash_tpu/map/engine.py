@@ -125,6 +125,31 @@ class Mapper:
         """Host L1: k-way posting merge + per-target-group two-pass sweep
         (computeMap.hpp:963-982)."""
         p = self.params
+
+        # native fast path: ONE call covers the endpoint gather, the
+        # self/group/lower-triangular skip, the (seq,pos,side) sort,
+        # every target group's sweep AND the proximal join (the
+        # numpy gather+lexsort and the per-group ctypes loop both
+        # dominated the mapping wall at ~12k calls per LPA run)
+        from ..native import l1_fragment_native, l1_sweep_multi_native
+
+        starts, ends = index.lookup(sketch.hashes)
+        nat = l1_fragment_native(
+            index.endpoints_soa(),
+            np.ascontiguousarray(starts, np.int64),
+            np.ascontiguousarray(ends, np.int64),
+            self._group_arr, query_group, query_seq_id,
+            p.skip_self or p.skip_prefix, p.lower_triangular,
+            p.skip_prefix,
+            max(0, q_len - p.window_length), minimum_hits,
+            p.stage1_topANI_filter, p.stage2_full_scan,
+            sketch.sketch_size, max(1.0, p.sketch_size / 1000.0),
+            self.sketch_cutoffs, p.window_length)
+        if nat is not None:
+            return [L1Candidate(seq_id=a, range_start=b, range_end=c,
+                                intersection_size=d)
+                    for (a, b, c, d) in nat]
+
         pts = get_seed_interval_points(
             sketch, index, query_seq_id, query_group, self.group_of, p
         )
@@ -132,11 +157,6 @@ class Mapper:
         n = len(pts)
         if n == 0:
             return l1
-
-        # native fast path: ONE call covers every target group's sweep
-        # plus the proximal join (the per-group ctypes loop was ~12k
-        # calls per LPA run and dominated the mapping wall)
-        from ..native import l1_sweep_multi_native
 
         if p.skip_prefix:
             groups = np.asarray(self.group_of(pts["seq_id"]))

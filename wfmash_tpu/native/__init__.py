@@ -202,6 +202,18 @@ def get_l1l2_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         vp, ctypes.c_int64, vp,
     ]
+    lib.l1_fragment.restype = ctypes.c_int64
+    lib.l1_fragment.argtypes = [
+        vp, vp, vp, vp,
+        vp, vp, ctypes.c_int64,
+        vp, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_double,
+        vp, ctypes.c_int64,
+        ctypes.c_int64,
+        vp, vp, vp, vp, ctypes.c_int64,
+    ]
     _lib2 = lib
     return _lib2
 
@@ -314,6 +326,43 @@ def l2_walk_native(soa, cand_seq, range_start, range_end,
         return None
     r = out[:m * 6].reshape(m, 6)
     return [tuple(int(v) for v in row) for row in r]
+
+
+def l1_fragment_native(ep_soa, starts, ends, group_arr, query_group,
+                       query_seq_id, skip_group, lower_tri, split_by_group,
+                       window_len, minimum_hits, stage1_filter,
+                       stage2_full_scan, sketch_size, cutoff_div,
+                       sketch_cutoffs, cluster_len):
+    """The whole per-fragment L1 stage natively (l1l2.cpp:l1_fragment):
+    endpoint gather + skip filter + (seq,pos,side) stable sort +
+    per-group sweeps + proximal join. Returns a list of
+    (seq, start, end, intersection) or None (lib absent / overflow)."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    ep_pos, ep_hash, ep_seq, ep_side = ep_soa
+    total = int((ends - starts).sum())
+    cap = max(16, total)
+    scr = getattr(_tls, "l1", None)
+    if scr is None or len(scr[0]) < cap:
+        scr = tuple(np.empty(cap, np.int64) for _ in range(4))
+        _tls.l1 = scr
+    o_seq, o_start, o_end, o_inter = scr
+    cut32 = _cut32(sketch_cutoffs)
+    m = lib.l1_fragment(
+        _ptr(ep_pos), _ptr(ep_hash), _ptr(ep_seq), _ptr(ep_side),
+        _ptr(starts), _ptr(ends), len(starts),
+        _ptr(group_arr), query_group, query_seq_id,
+        int(skip_group), int(lower_tri), int(split_by_group),
+        window_len, minimum_hits, int(stage1_filter),
+        int(stage2_full_scan), sketch_size, float(cutoff_div),
+        _ptr(cut32), len(cut32), cluster_len,
+        _ptr(o_seq), _ptr(o_start), _ptr(o_end), _ptr(o_inter), cap,
+    )
+    if m < 0:
+        return None
+    return [(int(o_seq[i]), int(o_start[i]), int(o_end[i]), int(o_inter[i]))
+            for i in range(m)]
 
 
 def l2_walk_multi_native(soa, cand_seq, range_start, range_end,

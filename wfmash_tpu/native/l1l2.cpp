@@ -188,6 +188,73 @@ int64_t l1_sweep_multi(const int64_t* pos, const int64_t* seq,
     return w;
 }
 
+// The WHOLE per-fragment L1 stage in one call: gather the sketch
+// hashes' endpoint ranges, apply the self/group/lower-triangular skip
+// (mappingCore.hpp:109-118), stable-sort by (seq, pos, side) — the
+// same order and tie behavior as np.lexsort over the gather order —
+// then run the per-group sweeps + proximal join (l1_sweep_multi).
+int64_t l1_fragment(const int64_t* ep_pos, const uint64_t* ep_hash,
+                    const int32_t* ep_seq, const int8_t* ep_side,
+                    const int64_t* starts, const int64_t* ends, int64_t S,
+                    const int64_t* group_of, int64_t query_group,
+                    int64_t query_seq_id, int skip_group, int lower_tri,
+                    int split_by_group,
+                    int64_t window_len, int64_t minimum_hits,
+                    int stage1_filter, int stage2_full_scan,
+                    int64_t sketch_size, double cutoff_div,
+                    const int32_t* sketch_cutoffs, int64_t n_cutoffs,
+                    int64_t cluster_len,
+                    int64_t* out_seq, int64_t* out_start,
+                    int64_t* out_end, int64_t* out_inter, int64_t cap) {
+    struct Pt {
+        uint64_t key;
+        uint64_t hash;
+    };
+    std::vector<Pt> pts;
+    for (int64_t s = 0; s < S; s++) {
+        for (int64_t j = starts[s]; j < ends[s]; j++) {
+            int64_t sq = ep_seq[j];
+            if (skip_group && group_of[sq] == query_group) continue;
+            if (lower_tri && query_seq_id <= sq) continue;
+            if (sq >= (1ll << 23) || ep_pos[j] < 0 ||
+                ep_pos[j] >= (1ll << 40))
+                return -1;   // key packing overflow: caller falls back
+            uint64_t key = ((uint64_t)sq << 41) |
+                           ((uint64_t)ep_pos[j] << 1) |
+                           (ep_side[j] > 0 ? 1u : 0u);
+            pts.push_back({key, ep_hash[j]});
+        }
+    }
+    int64_t n = (int64_t)pts.size();
+    if (n == 0) return 0;
+    std::stable_sort(pts.begin(), pts.end(),
+                     [](const Pt& a, const Pt& b) { return a.key < b.key; });
+
+    // decode into parallel arrays for the sweep
+    std::vector<int64_t> pos(n), seq(n), grp_b;
+    std::vector<int8_t> side(n);
+    std::vector<uint64_t> hash(n);
+    for (int64_t i = 0; i < n; i++) {
+        seq[i] = (int64_t)(pts[i].key >> 41);
+        pos[i] = (int64_t)((pts[i].key >> 1) & ((1ull << 40) - 1));
+        side[i] = (pts[i].key & 1) ? 1 : -1;
+        hash[i] = pts[i].hash;
+    }
+    grp_b.push_back(0);
+    if (split_by_group) {
+        for (int64_t i = 1; i < n; i++)
+            if (group_of[seq[i]] != group_of[seq[i - 1]])
+                grp_b.push_back(i);
+    }
+    grp_b.push_back(n);
+    return l1_sweep_multi(pos.data(), seq.data(), side.data(), hash.data(),
+                          grp_b.data(), (int64_t)grp_b.size() - 1,
+                          window_len, minimum_hits, stage1_filter,
+                          stage2_full_scan, sketch_size, cutoff_div,
+                          sketch_cutoffs, n_cutoffs, cluster_len,
+                          out_seq, out_start, out_end, out_inter, cap);
+}
+
 // ---------------------------------------------------------------------------
 
 struct Slide {
