@@ -168,3 +168,21 @@ def test_memory_budget_reroute(monkeypatch):
     qc = sum(c for c, op in ops if op in "=XI")
     tc = sum(c for c, op in ops if op in "=XD")
     assert (qc, tc) == (len(query), len(target))
+
+
+def test_host_engine_thread_pool_deterministic():
+    """align_batch over a thread pool returns the same ops in the same
+    order as the serial path (native WFA is thread-safe: thread-local
+    arena, GIL released)."""
+    from wfmash_tpu.align.biwfa import HostWfaEngine
+
+    rng = np.random.default_rng(11)
+    jobs = []
+    for i in range(12):
+        q, t = make_pair(rng, 600 + 40 * i, sub=0.05, indel=0.02)
+        jobs.append((q, t, None))
+    serial = HostWfaEngine(PATCH).align_batch(jobs)
+    pooled_eng = HostWfaEngine(PATCH)
+    pooled_eng.threads = 4
+    pooled = pooled_eng.align_batch(jobs)
+    assert pooled == serial
