@@ -134,10 +134,13 @@ def main() -> None:
     n_rows = buf.getvalue().count("\n")
     log(f"[bench] mapping: {n_rows} records in {map_wall:.2f}s")
 
+    # finalize() applies the reference's padding rules (min(w, 5000) per
+    # side, parse_args.hpp:593-621) — benchmarking unpadded records
+    # would understate the align work vs the reference's own runs
     ap = AlignParams(
         ref_sequences=[LPA], query_sequences=[LPA],
         mashmap_paf_file=map_paf, threads=threads,
-    )
+    ).finalize(mp.window_length)
 
     t0 = time.time()
     out1 = io.StringIO()

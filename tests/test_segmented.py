@@ -161,6 +161,7 @@ def test_inversion_row_e2e(tmp_path):
     import os
 
     os.environ["WFMASH_TPU_WFA_ENGINE"] = "auto"
+    os.environ["WFMASH_TPU_SEGMENTED"] = "1"   # auto picks native on CPU
     try:
         ap = AlignParams(ref_sequences=[str(tfa)],
                          query_sequences=[str(qfa)],
@@ -169,6 +170,7 @@ def test_inversion_row_e2e(tmp_path):
         run_alignment(ap, out)
     finally:
         os.environ.pop("WFMASH_TPU_WFA_ENGINE", None)
+        os.environ.pop("WFMASH_TPU_SEGMENTED", None)
     rows = out.getvalue().splitlines()
     assert rows
     iv = [r for r in rows if "iv:Z:true" in r]
@@ -207,6 +209,7 @@ def test_strict_parity_suppresses_inversion_rows(tmp_path):
     import os
 
     os.environ["WFMASH_TPU_WFA_ENGINE"] = "auto"
+    os.environ["WFMASH_TPU_SEGMENTED"] = "1"   # auto picks native on CPU
     try:
         ap = AlignParams(ref_sequences=[str(tfa)],
                          query_sequences=[str(qfa)],
@@ -216,6 +219,7 @@ def test_strict_parity_suppresses_inversion_rows(tmp_path):
         run_alignment(ap, out)
     finally:
         os.environ.pop("WFMASH_TPU_WFA_ENGINE", None)
+        os.environ.pop("WFMASH_TPU_SEGMENTED", None)
     rows = out.getvalue().splitlines()
     assert rows, "no alignment rows at all"
     assert not [r for r in rows if "iv:Z:" in r or "pt:Z:" in r]

@@ -181,11 +181,21 @@ def make_engine(params: AlignParams):
             from ..native import get_wfa_lib
             from ..runner import _device_rtt_ms
 
-            if get_wfa_lib() is not None and _device_rtt_ms() > 20.0:
-                log("[wfmash::align] device round-trip latency too high;"
-                    " using the native exact engine (override with "
-                    "WFMASH_TPU_SEGMENTED=1)")
-                return BudgetedHostEngine(penalties, params)
+            if get_wfa_lib() is not None:
+                if _device_rtt_ms() > 20.0:
+                    log("[wfmash::align] device round-trip latency too "
+                        "high; using the native engine (override with "
+                        "WFMASH_TPU_SEGMENTED=1)")
+                    return BudgetedHostEngine(penalties, params)
+                import jax
+
+                if jax.default_backend() == "cpu":
+                    # no accelerator: the interpret-mode segment kernel
+                    # loses badly to the native engine on a CPU host
+                    log("[wfmash::align] no accelerator; using the "
+                        "native engine (override with "
+                        "WFMASH_TPU_SEGMENTED=1)")
+                    return BudgetedHostEngine(penalties, params)
         except Exception:   # pragma: no cover - probe failure
             pass
     try:
@@ -233,21 +243,53 @@ def _build_segmented(penalties, exact_engine):
 
 
 class BudgetedHostEngine(HostWfaEngine):
-    """Host exact engine with a memory-bounded escape hatch: a block
-    whose full-history footprint would exceed WFMASH_TPU_WFA_MEM_MB
-    raises WfaMemoryBudget from the native engine and is rerouted
-    through the anchored segmented path (bounded per-piece memory)
-    instead — the rare giant/divergent block cannot OOM the host."""
+    """Host exact engine with two escape hatches:
+
+    * **score cap** — a main (end-to-end) block whose exact score
+      exceeds WFMASH_TPU_HOST_SCORE_CAP (default 600; 0 disables) is
+      re-solved via anchored segmentation with exact native WFA per
+      piece (`segmented.segmented_host_align`). The probe costs one
+      capped sweep (~1 ms); diverted blocks are the divergent tail
+      whose O(score^2) exact cost dominates the align wall — on LPA
+      they hold ~75% of the work in ~40% of the records. Near-optimal
+      instead of exact for those blocks (fidelity ledger).
+    * **memory budget** — a block whose full-history footprint would
+      exceed WFMASH_TPU_WFA_MEM_MB raises WfaMemoryBudget from the
+      native engine and reroutes through the full segmented engine
+      (bounded per-piece memory) — the rare giant/divergent block
+      cannot OOM the host."""
 
     def __init__(self, penalties, params):
+        import os
+
         super().__init__(penalties)
         self.threads = max(1, int(getattr(params, "threads", 1)))
         self._params = params
         self._full = None
+        self.score_cap = int(os.environ.get(
+            "WFMASH_TPU_HOST_SCORE_CAP", "300"))
 
     def align(self, query: bytes, target: bytes, ends_free=None):
         from ..native import WfaMemoryBudget
+        from .wfa_vec import wfa_align
 
+        if (ends_free is None and self.score_cap > 0
+                and min(len(query), len(target)) >= 2000):
+            try:
+                _, ops = wfa_align(query, target, self.penalties, None,
+                                   max_score=self.score_cap)
+            except WfaMemoryBudget:   # pragma: no cover - tiny cap
+                ops = None
+            if ops is not None:
+                return ops
+            from .segmented import segmented_host_align
+
+            try:
+                ops = segmented_host_align(query, target, self.penalties)
+            except WfaMemoryBudget:
+                ops = None            # giant-skew piece: whole-block path
+            if ops is not None:
+                return ops
         try:
             return super().align(query, target, ends_free)
         except WfaMemoryBudget:
@@ -264,6 +306,11 @@ class BudgetedHostEngine(HostWfaEngine):
 
 
 def run_alignment(params: AlignParams, out) -> None:
+    if params.target_padding < 0 or params.query_padding < 0:
+        # unfinalized params would silently align UNPADDED records
+        # (parse_mashmap_row skips padding <= 0) — apply the reference's
+        # defaults for the standard 1 kb mapping window instead
+        params.finalize(1000)
     ref_reader = FastaReader(params.ref_sequences[0])
     query_reader = FastaReader(params.query_sequences[0])
 

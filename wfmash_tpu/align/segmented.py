@@ -280,6 +280,87 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     return rq, rt
 
 
+def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256):
+    """Anchor-cut the block and solve every piece exactly on the native
+    host WFA — the capped-score fallback of the latency-aware host
+    engine (no device involved). Pieces are end-to-end exact; cuts lie
+    inside exact k-mer matches, so the stitched CIGAR is replayable and
+    near-optimal (same trade as the segmented device default, see
+    ARCHITECTURE.md fidelity ledger). Returns merged (count, op) runs
+    or None when the block is unanchorable (caller stays exact)."""
+    from ..native import wfa_align_batch_native
+    from .wfa_vec import wfa_align as _wfa
+
+    bounds = _plan_bounds(q, t, seg_target, 512, 256)
+    if bounds is None:
+        return None
+    bq, bt = bounds
+    out: list = []
+
+    def emit(cnt, op):
+        if cnt <= 0:
+            return
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + cnt, op)
+        else:
+            out.append((cnt, op))
+
+    plan: list = []      # ('P', piece_idx) | ('G', pre, piece_idx, post)
+    #                      | ('I'/'D', count); pre/post are op-run lists
+    pieces: list = []
+    for i in range(len(bq) - 1):
+        sq = q[bq[i]:bq[i + 1]]
+        st = t[bt[i]:bt[i + 1]]
+        if not sq:
+            plan.append(("D", len(st), None, None))
+        elif not st:
+            plan.append(("I", len(sq), None, None))
+            continue
+        elif abs(len(sq) - len(st)) > 400:
+            # structural gap: an end-to-end WFA pays O(skew) score
+            # levels just to emit the gap. Place the SHORT side inside
+            # the long one by k-mer diagonal voting, pin the flanks as
+            # plain gap runs, align the middle end-to-end — the same
+            # (ledgered) treatment as the segmented device path.
+            skew = len(sq) - len(st)
+            off = (_place_short(st, sq) if skew > 0
+                   else _place_short(sq, st))
+            if off is None:
+                plan.append(("P", len(pieces), None, None))
+                pieces.append((sq, st))
+            elif skew > 0:
+                plan.append(("G", [(off, "I")] if off else [],
+                             len(pieces),
+                             [(skew - off, "I")] if skew - off else []))
+                pieces.append((sq[off:off + len(st)], st))
+            else:
+                plan.append(("G", [(off, "D")] if off else [],
+                             len(pieces),
+                             [(-skew - off, "D")] if -skew - off else []))
+                pieces.append((sq, st[off:off + len(sq)]))
+        else:
+            plan.append(("P", len(pieces), None, None))
+            pieces.append((sq, st))
+    solved = wfa_align_batch_native(pieces, p)
+    if solved is None:                       # per-piece fallback
+        solved = [_wfa(sq, st, p) for sq, st in pieces]
+    for ent in plan:
+        if ent[0] == "P":
+            for cnt, op in solved[ent[1]][1]:
+                emit(cnt, op)
+        elif ent[0] == "G":
+            _, pre, pi, post = ent
+            for cnt, op in pre:
+                emit(cnt, op)
+            for cnt, op in solved[pi][1]:
+                emit(cnt, op)
+            for cnt, op in post:
+                emit(cnt, op)
+        else:
+            emit(ent[1], ent[0])
+    return out
+
+
 def _place_short(short: bytes, long_: bytes, k: int = 13,
                  max_occ: int = 8):
     """Best placement offset of `short` inside `long_` by k-mer diagonal

@@ -522,6 +522,14 @@ def get_wfa_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        vp = ctypes.c_void_p
+        lib.wfa_align_batch.restype = ctypes.c_int64
+        lib.wfa_align_batch.argtypes = [
+            vp, vp, vp, vp, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            vp, ctypes.c_int64, vp, vp, ctypes.c_int64,
+        ]
         _lib4 = lib
     except OSError:
         _lib4 = None
@@ -533,6 +541,49 @@ class WfaMemoryBudget(MemoryError):
     (default 6144): the caller must reroute to a memory-bounded path
     (segmented / recursive) instead of the Python spec fallback, which
     has the same O(score^2) footprint."""
+
+
+def wfa_align_batch_native(pieces, p):
+    """Many small END-TO-END alignments in one native call.
+    pieces: list of (query_bytes, target_bytes). Returns a list of
+    (score, ops) per piece, or None (lib absent / any piece failed —
+    caller dispatches per piece). Raises WfaMemoryBudget if any piece
+    exceeds the memory cap."""
+    lib = get_wfa_lib()
+    if lib is None or not pieces:
+        return None
+    n = len(pieces)
+    qoff = np.zeros(n + 1, np.int64)
+    toff = np.zeros(n + 1, np.int64)
+    for i, (q, t) in enumerate(pieces):
+        qoff[i + 1] = qoff[i] + len(q)
+        toff[i + 1] = toff[i] + len(t)
+    qbuf = b"".join(bytes(q) for q, _ in pieces)
+    tbuf = b"".join(bytes(t) for _, t in pieces)
+    cap = int(qoff[-1] + toff[-1]) + 64 * n
+    out = np.empty(cap, np.int64)
+    counts = np.empty(n, np.int64)
+    scores = np.empty(n, np.int64)
+    mem_cap = int(float(os.environ.get(
+        "WFMASH_TPU_WFA_MEM_MB", "6144")) * 1e6)
+    r = lib.wfa_align_batch(
+        qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
+        p.mismatch, p.gap_opening1, p.gap_extension1,
+        p.gap_opening2, p.gap_extension2,
+        _ptr(out), cap, _ptr(counts), _ptr(scores), mem_cap)
+    if r == -4:
+        raise WfaMemoryBudget("piece exceeded the history budget")
+    if r < 0:
+        return None
+    res = []
+    o = 0
+    for i in range(n):
+        k = int(counts[i])
+        vals = out[o:o + k]
+        res.append((int(scores[i]),
+                    [(int(v) >> 8, chr(int(v) & 0xFF)) for v in vals]))
+        o += k
+    return res
 
 
 def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,

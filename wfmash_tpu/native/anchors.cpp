@@ -5,9 +5,10 @@
 // _lis_chain is the Python spec; bit-identical selection incl. the
 // lexsort tie order). O(n log n) patience sorting.
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <vector>
-#include <algorithm>
 
 extern "C" {
 
@@ -60,13 +61,15 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
                             const uint8_t* t, int64_t tlen,
                             int k, int max_occ, int64_t max_pairs,
                             int64_t* out_q, int64_t* out_t, int64_t cap) {
-    static int8_t B2[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; i++) B2[i] = -1;
-        B2['A'] = 0; B2['C'] = 1; B2['G'] = 2; B2['T'] = 3;
-        init = true;
-    }
+    // magic-static init is thread-safe (the old two-static pattern had
+    // a benign but racy init when called from a thread pool)
+    static const auto B2_tab = []() {
+        std::array<int8_t, 256> a;
+        a.fill(-1);
+        a['A'] = 0; a['C'] = 1; a['G'] = 2; a['T'] = 3;
+        return a;
+    }();
+    const int8_t* B2 = B2_tab.data();
     struct CP { uint64_t code; int64_t pos; };
     auto codes_of = [&](const uint8_t* s, int64_t len,
                         std::vector<CP>& out_cp) {

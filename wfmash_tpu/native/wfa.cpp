@@ -572,4 +572,31 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                                    mem_cap);
 }
 
+// Many small end-to-end alignments in ONE call (the segmented host
+// path solves ~40 pieces per diverted block; per-piece ctypes glue was
+// ~280 us against ~20 us of actual WFA). Sequences are concatenated in
+// qbuf/tbuf with n+1 offsets each; ops append into out with
+// out_counts[i] runs for piece i. Any per-piece failure aborts the
+// whole call (caller falls back to per-piece Python dispatch).
+int64_t wfa_align_batch(const uint8_t* qbuf, const int64_t* qoff,
+                        const uint8_t* tbuf, const int64_t* toff,
+                        int64_t n_pieces, int32_t x, int32_t o1,
+                        int32_t e1, int32_t o2, int32_t e2,
+                        int64_t* out, int64_t cap, int64_t* out_counts,
+                        int64_t* out_scores, int64_t mem_cap) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_pieces; i++) {
+        int64_t score = 0;
+        int64_t got = wfa_align_native(
+            qbuf + qoff[i], qoff[i + 1] - qoff[i], tbuf + toff[i],
+            toff[i + 1] - toff[i], x, o1, e1, o2, e2, 0, 0, 0, 0, -1,
+            out + n_out, cap - n_out, &score, mem_cap);
+        if (got < 0) return got;
+        out_counts[i] = got;
+        out_scores[i] = score;
+        n_out += got;
+    }
+    return n_out;
+}
+
 }  // extern "C"
