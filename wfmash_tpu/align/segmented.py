@@ -344,18 +344,25 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256):
     solved = wfa_align_batch_native(pieces, p)
     if solved is None:                       # per-piece fallback
         solved = [_wfa(sq, st, p) for sq, st in pieces]
+    def emit_runs(runs):
+        # bulk append with only the junction run merged (solver output
+        # is already RLE-merged internally)
+        if not runs:
+            return
+        i = 0
+        if out and out[-1][1] == runs[0][1]:
+            out[-1] = (out[-1][0] + runs[0][0], runs[0][1])
+            i = 1
+        out.extend(runs[i:])
+
     for ent in plan:
         if ent[0] == "P":
-            for cnt, op in solved[ent[1]][1]:
-                emit(cnt, op)
+            emit_runs(solved[ent[1]][1])
         elif ent[0] == "G":
             _, pre, pi, post = ent
-            for cnt, op in pre:
-                emit(cnt, op)
-            for cnt, op in solved[pi][1]:
-                emit(cnt, op)
-            for cnt, op in post:
-                emit(cnt, op)
+            emit_runs(pre)
+            emit_runs(solved[pi][1])
+            emit_runs(post)
         else:
             emit(ent[1], ent[0])
     return out
