@@ -407,3 +407,40 @@ def test_find_anchors_native_vs_python():
             b = py_find_anchors(q, t, k, mo, mp)
             assert np.array_equal(a[0], b[0]), (trial, k, mo)
             assert np.array_equal(a[1], b[1]), (trial, k, mo)
+
+
+def test_native_place_short_matches_python():
+    """anchors.cpp:place_short vs the Python diagonal-voting spec."""
+    import numpy as np
+
+    import wfmash_tpu.native as native
+    from wfmash_tpu.align import segmented as S
+    from util import random_dna
+
+    if native.get_anchors_lib() is None:
+        import pytest
+
+        pytest.skip("native anchors unavailable")
+
+    rng = np.random.default_rng(23)
+    for trial in range(40):
+        llen = int(rng.integers(300, 4000))
+        slen = int(rng.integers(64, max(65, llen // 2)))
+        long_ = random_dna(rng, llen)
+        off = int(rng.integers(0, llen - slen + 1))
+        if trial % 3 == 0:
+            short = random_dna(rng, slen)         # junk: no signal
+        else:
+            sa = np.frombuffer(long_[off:off + slen], np.uint8).copy()
+            mut = rng.random(slen) < 0.05
+            sa[mut] = rng.integers(65, 69, int(mut.sum()))
+            short = sa.tobytes()
+        # python spec (forced)
+        saved = (native._lib3, native._tried3)
+        native._lib3, native._tried3 = None, True
+        try:
+            ref = S._place_short(short, long_)
+        finally:
+            native._lib3, native._tried3 = saved
+        got = S._place_short(short, long_)
+        assert got == ref, (trial, got, ref)

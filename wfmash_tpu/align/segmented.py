@@ -374,6 +374,11 @@ def _place_short(short: bytes, long_: bytes, k: int = 13,
     voting (coarse 32-wide buckets, refined by the median in-bucket
     diagonal). Returns an offset in [0, len(long_) - len(short)] or None
     when fewer than 5 k-mer votes exist (no homology signal)."""
+    from ..native import place_short_native
+
+    nat = place_short_native(short, long_, k, max_occ)
+    if nat is not NotImplemented:
+        return nat
     s = np.frombuffer(short, np.uint8)
     l = np.frombuffer(long_, np.uint8)
     cs, ps = _rare_positions(*_kmer_codes(s, k), max_occ)

@@ -441,10 +441,27 @@ def get_anchors_lib():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.place_short.restype = ctypes.c_int64
+        lib.place_short.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int]
         _lib3 = lib
     except OSError:
         _lib3 = None
     return _lib3
+
+
+def place_short_native(short: bytes, long_: bytes, k: int, max_occ: int):
+    """Native diagonal-voting placement (anchors.cpp:place_short).
+    Returns the offset, None for no-signal, or NotImplemented when the
+    lib is unavailable (caller falls back to the Python spec)."""
+    lib = get_anchors_lib()
+    if lib is None:
+        return NotImplemented
+    r = lib.place_short(bytes(short), len(short), bytes(long_),
+                        len(long_), k, max_occ)
+    return None if r < 0 else int(r)
 
 
 def find_anchors_native(q: bytes, t: bytes, k: int, max_occ: int,

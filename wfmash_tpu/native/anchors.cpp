@@ -151,4 +151,116 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
     return w;
 }
 
+// Best placement offset of `s` inside `l` by rare-k-mer diagonal
+// voting — bit-identical port of align/segmented.py:_place_short
+// (coarse 32-wide buckets, first-max mode, numpy-median refinement).
+// Returns the offset, or -1 when there is no homology signal.
+int64_t place_short(const uint8_t* s, int64_t slen, const uint8_t* l,
+                    int64_t llen, int k, int max_occ) {
+    static const auto B2_tab = []() {
+        std::array<int8_t, 256> a;
+        a.fill(-1);
+        a['A'] = 0; a['C'] = 1; a['G'] = 2; a['T'] = 3;
+        return a;
+    }();
+    const int8_t* B2 = B2_tab.data();
+
+    struct CP {
+        uint64_t code;
+        int64_t pos;
+    };
+    auto rare_of = [&](const uint8_t* seq, int64_t len,
+                       std::vector<CP>& out_cp) {
+        int64_t n = len - k + 1;
+        if (n <= 0) return;
+        std::vector<CP> cp;
+        cp.reserve(n);
+        uint64_t code = 0;
+        int64_t run = 0;   // consecutive valid bases ending here
+        for (int64_t i = 0; i < len; i++) {
+            int8_t b = B2[seq[i]];
+            if (b < 0) {
+                run = 0;
+                code = 0;
+                continue;
+            }
+            code = (code << 2) | (uint64_t)b;
+            if (k < 32) code &= (1ull << (2 * k)) - 1;
+            run++;
+            if (run >= k) cp.push_back({code, i - k + 1});
+        }
+        std::sort(cp.begin(), cp.end(), [](const CP& a, const CP& b) {
+            return a.code < b.code || (a.code == b.code && a.pos < b.pos);
+        });
+        // keep codes occurring <= max_occ times
+        int64_t m = (int64_t)cp.size();
+        for (int64_t i = 0; i < m;) {
+            int64_t j = i;
+            while (j < m && cp[j].code == cp[i].code) j++;
+            if (j - i <= max_occ)
+                for (int64_t a2 = i; a2 < j; a2++) out_cp.push_back(cp[a2]);
+            i = j;
+        }
+    };
+    std::vector<CP> cs, cl;
+    rare_of(s, slen, cs);
+    rare_of(l, llen, cl);
+    if (cs.empty() || cl.empty()) return -1;
+
+    std::vector<int64_t> diags;
+    size_t i = 0, j = 0;
+    while (i < cs.size() && j < cl.size() && diags.size() < 100000) {
+        if (cs[i].code < cl[j].code)
+            i++;
+        else if (cs[i].code > cl[j].code)
+            j++;
+        else {
+            uint64_t c = cs[i].code;
+            size_t i2 = i, j2 = j;
+            while (i2 < cs.size() && cs[i2].code == c) i2++;
+            while (j2 < cl.size() && cl[j2].code == c) j2++;
+            for (size_t a2 = i; a2 < i2; a2++)
+                for (size_t b2 = j; b2 < j2; b2++)
+                    diags.push_back(cl[b2].pos - cs[a2].pos);
+            i = i2;
+            j = j2;
+        }
+    }
+    if (diags.size() < 5) return -1;
+    int64_t lim = llen - slen;
+    std::vector<int64_t> d;
+    d.reserve(diags.size());
+    for (int64_t v : diags)
+        if (v >= -32 && v <= lim + 32) d.push_back(v);
+    if (d.size() < 5) return -1;
+    auto bucket_of = [](int64_t v) -> int64_t {   // floor division by 32
+        return v >= 0 ? v / 32 : -((-v + 31) / 32);
+    };
+    // mode bucket (smallest bucket wins ties, like np.unique+argmax)
+    std::vector<int64_t> bs(d.size());
+    for (size_t a2 = 0; a2 < d.size(); a2++) bs[a2] = bucket_of(d[a2]);
+    std::vector<int64_t> sorted_b = bs;
+    std::sort(sorted_b.begin(), sorted_b.end());
+    int64_t best_b = sorted_b[0], best_n = 0;
+    for (size_t a2 = 0; a2 < sorted_b.size();) {
+        size_t b2 = a2;
+        while (b2 < sorted_b.size() && sorted_b[b2] == sorted_b[a2]) b2++;
+        if ((int64_t)(b2 - a2) > best_n) {
+            best_n = (int64_t)(b2 - a2);
+            best_b = sorted_b[a2];
+        }
+        a2 = b2;
+    }
+    std::vector<int64_t> inb;
+    for (size_t a2 = 0; a2 < d.size(); a2++)
+        if (bs[a2] == best_b) inb.push_back(d[a2]);
+    std::sort(inb.begin(), inb.end());
+    size_t m = inb.size();
+    double med = (m % 2) ? (double)inb[m / 2]
+                         : ((double)inb[m / 2 - 1] + (double)inb[m / 2]) / 2.0;
+    if (med < 0) med = 0;
+    if (med > (double)lim) med = (double)lim;
+    return (int64_t)med;
+}
+
 }  // extern "C"
