@@ -341,9 +341,19 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256):
         else:
             plan.append(("P", len(pieces), None, None))
             pieces.append((sq, st))
-    solved = wfa_align_batch_native(pieces, p)
+    # per-piece junk cap: a piece whose exact score would exceed 55% of
+    # its all-mismatch bill (d >~ 0.55 — padding flanks, inserted
+    # sequence) is not homology; stop its sweep there and emit the
+    # trivial diagonal alignment instead of paying O(score^2) for a
+    # garbage CIGAR (ledgered with the segmented junk treatment)
+    caps = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
+            for sq, st in pieces]
+    solved = wfa_align_batch_native(pieces, p, max_scores=caps)
     if solved is None:                       # per-piece fallback
-        solved = [_wfa(sq, st, p) for sq, st in pieces]
+        solved = [_wfa(sq, st, p, None, max_score=c)
+                  for (sq, st), c in zip(pieces, caps)]
+    solved = [(s, ops) if ops is not None else (None, _diag_ops(*pc))
+              for (s, ops), pc in zip(solved, pieces)]
     def emit_runs(runs):
         # bulk append with only the junction run merged (solver output
         # is already RLE-merged internally)

@@ -545,6 +545,7 @@ def get_wfa_lib():
             vp, vp, vp, vp, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
+            vp,
             vp, ctypes.c_int64, vp, vp, ctypes.c_int64,
         ]
         _lib4 = lib
@@ -560,12 +561,13 @@ class WfaMemoryBudget(MemoryError):
     has the same O(score^2) footprint."""
 
 
-def wfa_align_batch_native(pieces, p):
+def wfa_align_batch_native(pieces, p, max_scores=None):
     """Many small END-TO-END alignments in one native call.
     pieces: list of (query_bytes, target_bytes). Returns a list of
-    (score, ops) per piece, or None (lib absent / any piece failed —
-    caller dispatches per piece). Raises WfaMemoryBudget if any piece
-    exceeds the memory cap."""
+    (score, ops) per piece — (None, None) for a piece whose per-piece
+    max_scores[i] was exceeded — or None as a whole (lib absent / a
+    piece failed; caller dispatches per piece). Raises WfaMemoryBudget
+    if any piece exceeds the memory cap."""
     lib = get_wfa_lib()
     if lib is None or not pieces:
         return None
@@ -583,10 +585,15 @@ def wfa_align_batch_native(pieces, p):
     scores = np.empty(n, np.int64)
     mem_cap = int(float(os.environ.get(
         "WFMASH_TPU_WFA_MEM_MB", "6144")) * 1e6)
+    ms_arr = None
+    if max_scores is not None:
+        ms_arr = np.asarray(
+            [-1 if m is None else int(m) for m in max_scores], np.int64)
     r = lib.wfa_align_batch(
         qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
         p.mismatch, p.gap_opening1, p.gap_extension1,
         p.gap_opening2, p.gap_extension2,
+        _ptr(ms_arr) if ms_arr is not None else None,
         _ptr(out), cap, _ptr(counts), _ptr(scores), mem_cap)
     if r == -4:
         raise WfaMemoryBudget("piece exceeded the history budget")
@@ -594,7 +601,7 @@ def wfa_align_batch_native(pieces, p):
         return None
     # vectorized unpack (a per-element int()/chr() comprehension was
     # ~40% of the call's wall on big batches)
-    total = int(counts.sum()) if n else 0
+    total = int(counts[:n][counts[:n] > 0].sum()) if n else 0
     vals = out[:total]
     cnts = (vals >> 8).tolist()
     opch = (vals & 0xFF).astype(np.uint8).tobytes().decode("latin-1")
@@ -602,6 +609,9 @@ def wfa_align_batch_native(pieces, p):
     o = 0
     for i in range(n):
         k = int(counts[i])
+        if k < 0:                    # per-piece score cap exceeded
+            res.append((None, None))
+            continue
         res.append((int(scores[i]),
                     list(zip(cnts[o:o + k], opch[o:o + k]))))
         o += k
