@@ -93,38 +93,93 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
     codes_of(q, qlen, qc);
     codes_of(t, tlen, tc);
     if (qc.empty() || tc.empty()) return 0;
-    // sort by (code, pos) — matches numpy's stable code sort of
-    // position-ordered entries
-    auto by_code = [](const CP& a, const CP& b) {
-        return a.code != b.code ? a.code < b.code : a.pos < b.pos;
-    };
-    std::sort(qc.begin(), qc.end(), by_code);
-    std::sort(tc.begin(), tc.end(), by_code);
-    // pair up codes with count <= max_occ on both sides
     std::vector<CP> pairs;   // code field reused as qpos; pos = tpos
-    size_t i = 0, j = 0;
-    bool cut = false;
-    while (i < qc.size() && j < tc.size()) {
-        uint64_t c = qc[i].code;
-        if (c < tc[j].code) { i++; continue; }
-        if (c > tc[j].code) { j++; continue; }
-        size_t i1 = i, j1 = j;
-        while (i1 < qc.size() && qc[i1].code == c) i1++;
-        while (j1 < tc.size() && tc[j1].code == c) j1++;
-        if ((int64_t)(i1 - i) <= max_occ && (int64_t)(j1 - j) <= max_occ) {
-            for (size_t a = i; a < i1 && !cut; a++) {
-                for (size_t b = j; b < j1; b++)
-                    pairs.push_back({(uint64_t)qc[a].pos, tc[b].pos});
-                // the Python spec caps the cartesian pairing only on the
-                // rare-kmer (max_occ > 1) path, checking AFTER appending
-                // each query k-mer's hits (unique matches are never
-                // capped there)
-                if (max_occ > 1 && (int64_t)pairs.size() > max_pairs)
-                    cut = true;
-            }
-            if (cut) break;
+    if (max_occ == 1) {
+        // unique-anchor path: open-addressing hash join (the two code
+        // sorts were the planning profile's hotspot). Pair order is
+        // irrelevant here — no max_pairs cut applies to unique matches
+        // and pairs are re-sorted by (qpos, tpos) below — so results
+        // are identical to the sort-merge path.
+        struct Slot {
+            uint32_t epoch = 0;
+            int32_t qn = 0, tn = 0;
+            uint64_t code = 0;
+            int64_t qpos = 0, tpos = 0;
+        };
+        static thread_local std::vector<Slot> table;
+        static thread_local uint32_t epoch = 0;
+        size_t want = 1;   // both sides insert (t-only codes get
+        while (want < 2 * (qc.size() + tc.size() + 1)) want <<= 1;
+        if (table.size() < want || epoch == 0xFFFFFFFFu) {
+            table.assign(std::max(want, table.size()), Slot{});
+            epoch = 0;
         }
-        i = i1; j = j1;
+        epoch++;
+        const size_t msk = table.size() - 1;
+        auto slot_of = [&](uint64_t code) -> Slot& {
+            size_t h = (size_t)(code * 0x9E3779B97F4A7C15ull) & msk;
+            for (;;) {
+                Slot& s = table[h];
+                if (s.epoch != epoch) {
+                    s.epoch = epoch;
+                    s.code = code;
+                    s.qn = s.tn = 0;
+                    return s;
+                }
+                if (s.code == code) return s;
+                h = (h + 1) & msk;
+            }
+        };
+        for (const CP& e : qc) {
+            Slot& s = slot_of(e.code);
+            s.qn++;
+            s.qpos = e.pos;
+        }
+        std::vector<Slot*> touched;
+        for (const CP& e : tc) {
+            Slot& s = slot_of(e.code);
+            if (s.qn == 0) continue;   // only track codes seen in q
+            s.tn++;
+            if (s.tn == 1 && s.qn == 1) touched.push_back(&s);
+            s.tpos = e.pos;
+        }
+        for (Slot* s : touched)
+            if (s->qn == 1 && s->tn == 1)
+                pairs.push_back({(uint64_t)s->qpos, s->tpos});
+    } else {
+        // sort by (code, pos) — matches numpy's stable code sort of
+        // position-ordered entries
+        auto by_code = [](const CP& a, const CP& b) {
+            return a.code != b.code ? a.code < b.code : a.pos < b.pos;
+        };
+        std::sort(qc.begin(), qc.end(), by_code);
+        std::sort(tc.begin(), tc.end(), by_code);
+        // pair up codes with count <= max_occ on both sides
+        size_t i = 0, j = 0;
+        bool cut = false;
+        while (i < qc.size() && j < tc.size()) {
+            uint64_t c = qc[i].code;
+            if (c < tc[j].code) { i++; continue; }
+            if (c > tc[j].code) { j++; continue; }
+            size_t i1 = i, j1 = j;
+            while (i1 < qc.size() && qc[i1].code == c) i1++;
+            while (j1 < tc.size() && tc[j1].code == c) j1++;
+            if ((int64_t)(i1 - i) <= max_occ &&
+                (int64_t)(j1 - j) <= max_occ) {
+                for (size_t a = i; a < i1 && !cut; a++) {
+                    for (size_t b = j; b < j1; b++)
+                        pairs.push_back({(uint64_t)qc[a].pos, tc[b].pos});
+                    // the Python spec caps the cartesian pairing only on
+                    // the rare-kmer (max_occ > 1) path, checking AFTER
+                    // appending each query k-mer's hits (unique matches
+                    // are never capped there)
+                    if (max_occ > 1 && (int64_t)pairs.size() > max_pairs)
+                        cut = true;
+                }
+                if (cut) break;
+            }
+            i = i1; j = j1;
+        }
     }
     if (pairs.empty()) return 0;
     // lexsort by (qpos, tpos)
