@@ -280,14 +280,18 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     return rq, rt
 
 
-def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256):
+def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
+                         depth: int = 0):
     """Anchor-cut the block and solve every piece exactly on the native
     host WFA — the capped-score fallback of the latency-aware host
     engine (no device involved). Pieces are end-to-end exact; cuts lie
     inside exact k-mer matches, so the stitched CIGAR is replayable and
     near-optimal (same trade as the segmented device default, see
-    ARCHITECTURE.md fidelity ledger). Returns merged (count, op) runs
-    or None when the block is unanchorable (caller stays exact)."""
+    ARCHITECTURE.md fidelity ledger). Pieces whose score exceeds a
+    refinement cap re-anchor once at the full k ladder (divergent
+    homology splits into cheap sub-pieces; unanchorable junk gets the
+    trivial diagonal alignment). Returns merged (count, op) runs or
+    None when the block is unanchorable (caller stays exact)."""
     from ..native import wfa_align_batch_native
     from .wfa_vec import wfa_align as _wfa
 
@@ -341,19 +345,34 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256):
         else:
             plan.append(("P", len(pieces), None, None))
             pieces.append((sq, st))
-    # per-piece junk cap: a piece whose exact score would exceed 55% of
-    # its all-mismatch bill (d >~ 0.55 — padding flanks, inserted
-    # sequence) is not homology; stop its sweep there and emit the
-    # trivial diagonal alignment instead of paying O(score^2) for a
-    # garbage CIGAR (ledgered with the segmented junk treatment)
-    caps = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
+    # per-piece caps, two purposes: (a) junk — a piece whose exact
+    # score would exceed 55% of its all-mismatch bill (d >~ 0.55:
+    # padding flanks, inserted sequence) is not homology; (b) refine —
+    # at depth 0 a piece deeper than REFINE_CAP re-anchors at the full
+    # k ladder instead of paying O(score^2) whole. Capped pieces that
+    # re-anchor solve as sub-pieces; unanchorable ones get the trivial
+    # diagonal alignment (ledgered with the segmented junk treatment).
+    import os as _os
+
+    REFINE_CAP = int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500"))
+    junk = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
             for sq, st in pieces]
+    caps = ([min(j, REFINE_CAP) for j in junk] if depth == 0 else junk)
     solved = wfa_align_batch_native(pieces, p, max_scores=caps)
     if solved is None:                       # per-piece fallback
         solved = [_wfa(sq, st, p, None, max_score=c)
                   for (sq, st), c in zip(pieces, caps)]
-    solved = [(s, ops) if ops is not None else (None, _diag_ops(*pc))
-              for (s, ops), pc in zip(solved, pieces)]
+    fixed = []
+    for (s_, ops_), pc in zip(solved, pieces):
+        if ops_ is not None:
+            fixed.append((s_, ops_))
+            continue
+        sub = (segmented_host_align(pc[0], pc[1], p, seg_target=128,
+                                    depth=1)
+               if depth == 0 and min(len(pc[0]), len(pc[1])) >= 96
+               else None)
+        fixed.append((None, sub if sub is not None else _diag_ops(*pc)))
+    solved = fixed
     def emit_runs(runs):
         # bulk append with only the junction run merged (solver output
         # is already RLE-merged internally)
