@@ -444,3 +444,86 @@ def test_native_place_short_matches_python():
             native._lib3, native._tried3 = saved
         got = S._place_short(short, long_)
         assert got == ref, (trial, got, ref)
+
+
+def test_native_plan_block_vs_python():
+    """anchors.cpp:plan_block (the fused k-ladder + cut-pick +
+    refinement planner) is bit-identical to segmented._plan_bounds_py."""
+    import numpy as np
+
+    import wfmash_tpu.align.segmented as S
+    from wfmash_tpu.native import plan_block_native
+
+    if plan_block_native(b"ACGT" * 200, b"ACGT" * 200, 256, 512, 256) \
+            is NotImplemented:
+        pytest.skip("native anchors lib unavailable")
+
+    rng = np.random.default_rng(29)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(25):
+        L = int(rng.integers(300, 12000))
+        t = lut[rng.integers(0, 4, L)]
+        q = t.copy()
+        mut = rng.random(L) < rng.random() * 0.5
+        q[mut] = lut[rng.integers(0, 4, int(mut.sum()))]
+        if trial % 3 == 0:          # structural insertion
+            cut = int(rng.integers(0, L))
+            ins = lut[rng.integers(0, 4, int(rng.integers(0, 2000)))]
+            q = np.concatenate([q[:cut], ins, q[cut:]])
+        qb, tb = q.tobytes(), t.tobytes()
+        for st in (256, 128):
+            nat = plan_block_native(qb, tb, st, 512, 256)
+            py = S._plan_bounds_py(qb, tb, st, 512, 256)
+            if py is None:
+                assert nat is None, (trial, st)
+            else:
+                assert nat is not None, (trial, st)
+                assert list(nat[0]) == list(py[0]), (trial, st)
+                assert list(nat[1]) == list(py[1]), (trial, st)
+
+
+def test_native_segmented_solve_vs_python():
+    """segsolve.cpp:segmented_solve (whole-block plan + placement +
+    capped pieces + refinement recursion + stitch in ONE call) is
+    bit-identical to the Python spec segmented_host_align."""
+    import numpy as np
+
+    import wfmash_tpu.align.segmented as S
+    import wfmash_tpu.native as native
+    from wfmash_tpu.align.biwfa import Penalties
+    from wfmash_tpu.native import segmented_solve_native
+
+    p = Penalties(5, 8, 2, 24, 1)
+    if segmented_solve_native(b"ACGT" * 600, b"ACGT" * 600, p, 256, 500) \
+            is NotImplemented:
+        pytest.skip("native segsolve lib unavailable")
+
+    rng = np.random.default_rng(31)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    cases = []
+    for trial in range(12):
+        L = int(rng.integers(2000, 12000))
+        t = lut[rng.integers(0, 4, L)]
+        q = t.copy()
+        mut = rng.random(L) < rng.random() * 0.4
+        q[mut] = lut[rng.integers(0, 4, int(mut.sum()))]
+        if trial % 3 == 0:          # structural insertion -> placement
+            cut = int(rng.integers(0, L))
+            ins = lut[rng.integers(0, 4, int(rng.integers(500, 2500)))]
+            q = np.concatenate([q[:cut], ins, q[cut:]])
+        if trial % 4 == 0:          # divergent core -> refine recursion
+            a = int(rng.integers(0, max(1, len(q) - 1500)))
+            q[a:a + 1500] = lut[rng.integers(0, 4, min(1500, len(q) - a))]
+        cases.append((q.tobytes(), t.tobytes()))
+    cases.append((bytes(lut[rng.integers(0, 4, 4000)]),
+                  bytes(lut[rng.integers(0, 4, 4000)])))   # junk
+    saved = native.segmented_solve_native
+    for i, (qb, tb) in enumerate(cases):
+        nat = segmented_solve_native(qb, tb, p, 256, 500)
+        try:
+            native.segmented_solve_native = \
+                lambda *a, **k: NotImplemented
+            py = S.segmented_host_align(qb, tb, p)
+        finally:
+            native.segmented_solve_native = saved
+        assert nat == py, (i, type(nat), type(py))

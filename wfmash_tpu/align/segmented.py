@@ -236,7 +236,20 @@ def _plan_bounds(q: bytes, t: bytes, seg_target: int, lseg: int, K: int):
     rare-kmer retry, one recursive re-anchoring pass for oversize
     inter-anchor spans. Returns (bounds_q, bounds_t) or None when the
     block cannot be segmented (caller falls back to the exact path).
-    Pure host/numpy — safe in fork-pool children."""
+    One native call (anchors.cpp:plan_block, bit-identical — tested)
+    with _plan_bounds_py as the spec fallback."""
+    from ..native import plan_block_native
+
+    nat = plan_block_native(q, t, seg_target, lseg, K)
+    if nat is not NotImplemented:
+        return nat
+    return _plan_bounds_py(q, t, seg_target, lseg, K)
+
+
+def _plan_bounds_py(q: bytes, t: bytes, seg_target: int, lseg: int,
+                    K: int):
+    """Executable spec for plan_block (pure host/numpy — safe in
+    fork-pool children; find_anchors itself may use the native core)."""
     qa = np.frombuffer(q, np.uint8)
     ta = np.frombuffer(t, np.uint8)
     half = K // 2 - 8
@@ -292,9 +305,20 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
     homology splits into cheap sub-pieces; unanchorable junk gets the
     trivial diagonal alignment). Returns merged (count, op) runs or
     None when the block is unanchorable (caller stays exact)."""
-    from ..native import wfa_align_batch_native
+    import os as _os
+
+    from ..native import segmented_solve_native, wfa_align_batch_native
     from .wfa_vec import wfa_align as _wfa
 
+    if depth == 0:
+        # one native call for the whole block (plan + placement +
+        # pieces + caps + refinement recursion + stitch); this function
+        # body remains the executable spec (bit-identical, tested)
+        nat = segmented_solve_native(
+            q, t, p, seg_target,
+            int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500")))
+        if nat is not NotImplemented:
+            return nat
     bounds = _plan_bounds(q, t, seg_target, 512, 256)
     if bounds is None:
         return None
@@ -352,8 +376,6 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
     # k ladder instead of paying O(score^2) whole. Capped pieces that
     # re-anchor solve as sub-pieces; unanchorable ones get the trivial
     # diagonal alignment (ledgered with the segmented junk treatment).
-    import os as _os
-
     REFINE_CAP = int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500"))
     junk = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
             for sq, st in pieces]

@@ -446,6 +446,12 @@ def get_anchors_lib():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int]
+        lib.plan_block.restype = ctypes.c_int64
+        lib.plan_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib3 = lib
     except OSError:
         _lib3 = None
@@ -482,6 +488,32 @@ def find_anchors_native(q: bytes, t: bytes, k: int, max_occ: int,
     if m < 0:
         return None
     return oq[:m].copy(), ot[:m].copy()
+
+
+def plan_block_native(q: bytes, t: bytes, seg_target: int, lseg: int,
+                      K: int):
+    """Full per-block segmentation plan in ONE native call: anchor-k
+    ladder + cut picking + oversize-span refinement (anchors.cpp:
+    plan_block); bit-identical to align.segmented._plan_bounds
+    (tested). Returns (bounds_q, bounds_t) int lists, None for an
+    unplannable block, or NotImplemented when the lib is unavailable
+    (caller falls back to the Python spec)."""
+    lib = get_anchors_lib()
+    if lib is None:
+        return NotImplemented
+    cap = max(64, len(q) // 8)
+    while True:
+        oq = np.empty(cap, np.int64)
+        ot = np.empty(cap, np.int64)
+        m = lib.plan_block(bytes(q), len(q), bytes(t), len(t),
+                           seg_target, lseg, K,
+                           oq.ctypes.data, ot.ctypes.data, cap)
+        if m == -1:            # bounds overflow: retry with more room
+            cap *= 4
+            continue
+        if m == 0:
+            return None
+        return oq[:m].tolist(), ot[:m].tolist()
 
 
 def lis_chain_native(tpos_sorted: np.ndarray):
@@ -616,6 +648,85 @@ def wfa_align_batch_native(pieces, p, max_scores=None):
                     list(zip(cnts[o:o + k], opch[o:o + k]))))
         o += k
     return res
+
+
+_SRC5 = _DIR / "segsolve.cpp"
+_LIB5 = _DIR / "_segsolve.so"
+_lib5 = None
+_tried5 = False
+
+
+def get_segsolve_lib():
+    global _lib5, _tried5
+    if _lib5 is not None or _tried5:
+        return _lib5
+    _tried5 = True
+    if os.environ.get("WFMASH_TPU_NO_NATIVE"):
+        return None
+    deps = max(_SRC5.stat().st_mtime, _SRC4.stat().st_mtime,
+               _SRC3.stat().st_mtime)
+    if not _LIB5.exists() or _LIB5.stat().st_mtime < deps:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(_SRC5), "-o", str(_LIB5)],
+                check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"[wfmash-tpu] native segsolve build failed ({e}); "
+                  "using Python fallback", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB5))
+        lib.segmented_solve.restype = ctypes.c_int64
+        lib.segmented_solve.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        _lib5 = lib
+    except OSError:
+        _lib5 = None
+    return _lib5
+
+
+def segmented_solve_native(q: bytes, t: bytes, p, seg_target: int,
+                           refine_cap: int):
+    """The WHOLE segmented host alignment for one block in one native
+    call (segsolve.cpp; align.segmented.segmented_host_align is the
+    executable spec — bit-identical, tested). Returns merged
+    (count, op) runs, None when the block is unplannable (caller stays
+    exact), or NotImplemented when the lib is unavailable / the solver
+    failed to converge (caller falls back to the Python spec). Raises
+    WfaMemoryBudget when a piece exceeds the memory cap."""
+    lib = get_segsolve_lib()
+    if lib is None:
+        return NotImplemented
+    mem_cap = int(float(os.environ.get(
+        "WFMASH_TPU_WFA_MEM_MB", "6144")) * 1e6)
+    cap = len(q) + len(t) + 64
+    qb, tb = bytes(q), bytes(t)
+    while True:
+        out = np.empty(cap, np.int64)
+        r = lib.segmented_solve(
+            qb, len(q), tb, len(t),
+            p.mismatch, p.gap_opening1, p.gap_extension1,
+            p.gap_opening2, p.gap_extension2,
+            seg_target, refine_cap, out.ctypes.data, cap, mem_cap)
+        if r == -2:
+            cap *= 4
+            continue
+        if r == -4:
+            raise WfaMemoryBudget("segmented piece exceeded the budget")
+        if r == -3:
+            return NotImplemented
+        if r == 0:
+            return None
+        vals = out[:r]
+        return list(zip(
+            (vals >> 8).tolist(),
+            (vals & 0xFF).astype(np.uint8).tobytes().decode("latin-1")))
 
 
 def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,

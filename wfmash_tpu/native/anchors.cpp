@@ -49,18 +49,19 @@ int64_t lis_chain(const int64_t* tpos, int64_t n, int64_t* out) {
     return m;
 }
 
-// find_anchors: the full anchor-chain planning kernel for one block
-// (segmented.py::find_anchors is the Python spec — bit-identical
-// selection: 2-bit rolling k-mer codes, unique (max_occ=1) or rare
-// (count <= max_occ, cartesian-paired, max_pairs cutoff after each
-// query k-mer's hits) matching, (qpos, tpos) lexsort, strict-LIS on
-// tpos, then the strict-monotone qpos filter).
-// Returns the number of anchors written to out_q/out_t (cap slots each),
-// or -1 on overflow (caller falls back to the Python path).
-int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
-                            const uint8_t* t, int64_t tlen,
-                            int k, int max_occ, int64_t max_pairs,
-                            int64_t* out_q, int64_t* out_t, int64_t cap) {
+}  // extern "C" (reopened below; internal helpers follow)
+
+// Anchor-chain selection for one block (segmented.py::find_anchors is
+// the Python spec — bit-identical selection: 2-bit rolling k-mer
+// codes, unique (max_occ=1) or rare (count <= max_occ,
+// cartesian-paired, max_pairs cutoff after each query k-mer's hits)
+// matching, (qpos, tpos) lexsort, strict-LIS on tpos, then the
+// strict-monotone qpos filter). Appends anchors to out_q/out_t.
+static void find_anchors_impl(const uint8_t* q, int64_t qlen,
+                              const uint8_t* t, int64_t tlen,
+                              int k, int max_occ, int64_t max_pairs,
+                              std::vector<int64_t>& out_q,
+                              std::vector<int64_t>& out_t) {
     // magic-static init is thread-safe (the old two-static pattern had
     // a benign but racy init when called from a thread pool)
     static const auto B2_tab = []() {
@@ -92,7 +93,7 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
     std::vector<CP> qc, tc;
     codes_of(q, qlen, qc);
     codes_of(t, tlen, tc);
-    if (qc.empty() || tc.empty()) return 0;
+    if (qc.empty() || tc.empty()) return;
     std::vector<CP> pairs;   // code field reused as qpos; pos = tpos
     if (max_occ == 1) {
         // unique-anchor path: open-addressing hash join (the two code
@@ -181,7 +182,7 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
             i = i1; j = j1;
         }
     }
-    if (pairs.empty()) return 0;
+    if (pairs.empty()) return;
     // lexsort by (qpos, tpos)
     std::sort(pairs.begin(), pairs.end(), [](const CP& a, const CP& b) {
         return a.code != b.code ? a.code < b.code : a.pos < b.pos;
@@ -191,19 +192,132 @@ int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
     for (int64_t a = 0; a < n; a++) tpos_v[a] = pairs[a].pos;
     int64_t m = lis_chain(tpos_v.data(), n, kept.data());
     // strict-monotone qpos filter
-    int64_t w = 0;
     int64_t last_q = -1;
     for (int64_t a = 0; a < m; a++) {
         int64_t qp = (int64_t)pairs[kept[a]].code;
         int64_t tp = pairs[kept[a]].pos;
         if (a > 0 && qp <= last_q) continue;
-        if (w >= cap) return -1;
-        out_q[w] = qp;
-        out_t[w] = tp;
+        out_q.push_back(qp);
+        out_t.push_back(tp);
         last_q = qp;
-        w++;
     }
-    return w;
+}
+
+// pick_cuts (segmented.py::pick_cuts spec): greedy cut selection with
+// searchsorted jumps; appends cut midpoints to qc/tc.
+static void pick_cuts_impl(const std::vector<int64_t>& qpos,
+                           const std::vector<int64_t>& tpos,
+                           int k, int64_t seg_target,
+                           std::vector<int64_t>& qc,
+                           std::vector<int64_t>& tc) {
+    const int64_t mid = k / 2;
+    const int64_t n = (int64_t)qpos.size();
+    int64_t last_q = -(int64_t)1 << 30, last_t = -(int64_t)1 << 30;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t cq = qpos[i] + mid, ct = tpos[i] + mid;
+        if (cq - last_q < seg_target || ct - last_t < seg_target) {
+            auto j1 = std::lower_bound(qpos.begin(), qpos.end(),
+                                       last_q + seg_target - mid)
+                      - qpos.begin();
+            auto j2 = std::lower_bound(tpos.begin(), tpos.end(),
+                                       last_t + seg_target - mid)
+                      - tpos.begin();
+            i = std::max<int64_t>(std::max<int64_t>(j1, j2), i + 1);
+            continue;
+        }
+        qc.push_back(cq);
+        tc.push_back(ct);
+        last_q = cq;
+        last_t = ct;
+        i++;
+    }
+}
+
+extern "C" {
+
+// ctypes wrapper for find_anchors_impl. Returns the number of anchors
+// written to out_q/out_t (cap slots each), or -1 on overflow (caller
+// falls back to the Python path).
+int64_t find_anchors_native(const uint8_t* q, int64_t qlen,
+                            const uint8_t* t, int64_t tlen,
+                            int k, int max_occ, int64_t max_pairs,
+                            int64_t* out_q, int64_t* out_t, int64_t cap) {
+    std::vector<int64_t> aq, at;
+    find_anchors_impl(q, qlen, t, tlen, k, max_occ, max_pairs, aq, at);
+    if ((int64_t)aq.size() > cap) return -1;
+    std::copy(aq.begin(), aq.end(), out_q);
+    std::copy(at.begin(), at.end(), out_t);
+    return (int64_t)aq.size();
+}
+
+// plan_block: the FULL per-block segmentation plan in one call
+// (segmented.py::_plan_bounds is the Python spec, bit-identical):
+// anchor-k ladder (21-unique -> rare 13/occ4 -> rare 11/occ8),
+// greedy cut picking, then one recursive re-anchoring pass for
+// inter-anchor spans that don't fit the kernel envelope
+// (_solver_accepts: dq < lseg && dt < lseg && |dq-dt| < K/2-1).
+// Writes the bounds arrays (including the 0 and len endpoints) to
+// out_q/out_t. Returns the bounds count, 0 when the block is
+// unplannable (fewer than 2 cuts at every rung), or -1 on overflow.
+int64_t plan_block(const uint8_t* q, int64_t qlen,
+                   const uint8_t* t, int64_t tlen,
+                   int64_t seg_target, int64_t lseg, int64_t K,
+                   int64_t* out_q, int64_t* out_t, int64_t cap) {
+    std::vector<int64_t> aq, at, qc, tc;
+    find_anchors_impl(q, qlen, t, tlen, 21, 1, 200000, aq, at);
+    pick_cuts_impl(aq, at, 21, seg_target, qc, tc);
+    if ((int64_t)qc.size() < std::max<int64_t>(2, qlen / (4 * lseg))) {
+        aq.clear(); at.clear(); qc.clear(); tc.clear();
+        find_anchors_impl(q, qlen, t, tlen, 13, 4, 200000, aq, at);
+        pick_cuts_impl(aq, at, 13, seg_target, qc, tc);
+    }
+    if ((int64_t)qc.size() < std::max<int64_t>(2, qlen / (8 * lseg))) {
+        aq.clear(); at.clear(); qc.clear(); tc.clear();
+        find_anchors_impl(q, qlen, t, tlen, 11, 8, 200000, aq, at);
+        pick_cuts_impl(aq, at, 11, seg_target, qc, tc);
+    }
+    if (qc.size() < 2) return 0;
+    std::vector<int64_t> bq, bt;
+    bq.reserve(qc.size() + 2); bt.reserve(tc.size() + 2);
+    bq.push_back(0); bt.push_back(0);
+    bq.insert(bq.end(), qc.begin(), qc.end());
+    bt.insert(bt.end(), tc.begin(), tc.end());
+    bq.push_back(qlen); bt.push_back(tlen);
+    // refine pass: re-anchor oversize inter-anchor spans
+    std::vector<int64_t> rq, rt;
+    rq.push_back(0); rt.push_back(0);
+    const int64_t n = (int64_t)bq.size();
+    for (int64_t pi = 0; pi + 1 < n; pi++) {
+        const int64_t sq0 = bq[pi], sq1 = bq[pi + 1];
+        const int64_t st0 = bt[pi], st1 = bt[pi + 1];
+        const int64_t dq = sq1 - sq0, dt = st1 - st0;
+        const bool fits = (dq < lseg && dt < lseg &&
+                           std::llabs(dq - dt) < K / 2 - 1);
+        const bool big = !(fits || dq == 0 || dt == 0);
+        if (big && dq >= 64 && dt >= 64) {
+            aq.clear(); at.clear(); qc.clear(); tc.clear();
+            find_anchors_impl(q + sq0, dq, t + st0, dt, 13, 4, 200000,
+                              aq, at);
+            pick_cuts_impl(aq, at, 13, 128, qc, tc);
+            if (qc.empty()) {
+                aq.clear(); at.clear();
+                find_anchors_impl(q + sq0, dq, t + st0, dt, 11, 8,
+                                  200000, aq, at);
+                pick_cuts_impl(aq, at, 11, 128, qc, tc);
+            }
+            for (size_t a = 0; a < qc.size(); a++) {
+                rq.push_back(qc[a] + sq0);
+                rt.push_back(tc[a] + st0);
+            }
+        }
+        rq.push_back(sq1);
+        rt.push_back(st1);
+    }
+    if ((int64_t)rq.size() > cap) return -1;
+    std::copy(rq.begin(), rq.end(), out_q);
+    std::copy(rt.begin(), rt.end(), out_t);
+    return (int64_t)rq.size();
 }
 
 // Best placement offset of `s` inside `l` by rare-k-mer diagonal

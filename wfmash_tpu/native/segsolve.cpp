@@ -1,0 +1,248 @@
+// Native per-block segmented solver — the WHOLE of
+// wfmash_tpu/align/segmented.py::segmented_host_align in one ctypes
+// call (bit-identical; the Python function remains the executable spec
+// and the fallback, equality enforced by tests/test_native.py):
+//
+//   plan_block (anchor-k ladder + cuts + refinement)
+//   -> span classification (gap runs / structural-skew placement via
+//      place_short diagonal voting / plain pieces)
+//   -> per-piece junk + refine caps, exact WFA per piece
+//   -> capped-piece handling (depth-0 re-anchoring recursion at
+//      seg_target=128, trivial diagonal alignment for junk)
+//   -> stitched RLE runs with junction merging.
+//
+// Rationale: the per-block Python glue (plan lists, zip loops, numpy
+// marshalling, per-batch ctypes calls) was ~40% of the segmented
+// path's wall on the LPA all-vs-all benchmark; the compute kernels
+// were already native. One call per block leaves only the run-list
+// unpack in Python.
+//
+// Reference analogue: wflign's hierarchical wflambda segmentation
+// (src/common/wflign/src/wflign.cpp) — re-designed as anchor-chain
+// segmentation (SURVEY.md §2.6 #39); this file is the host engine's
+// spelling of it.
+
+#include "wfa.cpp"      // wfa_align_native (+ arena, int16/int32 impls)
+#include "anchors.cpp"  // plan_block, place_short (extern "C")
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace segsolve {
+
+// RLE run list packed like the wfa bindings: (count << 8) | op_char.
+struct RunEmit {
+    std::vector<int64_t> runs;
+    void emit(int64_t cnt, char op) {
+        if (cnt <= 0) return;
+        if (!runs.empty() && (char)(runs.back() & 0xFF) == op)
+            runs.back() += cnt << 8;
+        else
+            runs.push_back((cnt << 8) | (int64_t)(uint8_t)op);
+    }
+    // append a packed run list, merging only the junction run (the
+    // Python emit_runs contract: solver output is already RLE-merged)
+    void emit_packed(const int64_t* p, int64_t k) {
+        int64_t i = 0;
+        if (k > 0 && !runs.empty() &&
+            (runs.back() & 0xFF) == (p[0] & 0xFF)) {
+            runs.back() += (p[0] >> 8) << 8;
+            i = 1;
+        }
+        for (; i < k; i++) runs.push_back(p[i]);
+    }
+};
+
+// segmented.py::_diag_ops — trivial replayable alignment for
+// junk-level pieces: per-base =/X on the main diagonal + the length
+// difference as one trailing gap run.
+static void diag_ops(const uint8_t* q, int64_t m, const uint8_t* t,
+                     int64_t n, RunEmit& em) {
+    const int64_t L = std::min(m, n);
+    if (L) {
+        int64_t start = 0;
+        bool cur = q[0] == t[0];
+        for (int64_t i = 1; i < L; i++) {
+            bool e = q[i] == t[i];
+            if (e != cur) {
+                em.emit(i - start, cur ? '=' : 'X');
+                start = i;
+                cur = e;
+            }
+        }
+        em.emit(L - start, cur ? '=' : 'X');
+    }
+    if (m > n)
+        em.emit(m - n, 'I');
+    else if (n > m)
+        em.emit(n - m, 'D');
+}
+
+// Core of segmented_host_align for one block. depth 0 applies the
+// refine cap and recurses once (seg_target 128) on capped pieces;
+// depth 1 applies only the junk cap and emits diagonals on cap hits.
+// Returns 1 on success (runs in em), 0 when the block is unplannable
+// (caller falls back to its exact path), -3 on a WFA convergence
+// failure, -4 when a piece exceeded the memory budget.
+static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
+                           int64_t n, int32_t x, int32_t o1, int32_t e1,
+                           int32_t o2, int32_t e2, int64_t seg_target,
+                           int64_t refine_cap, int64_t depth,
+                           int64_t mem_cap, RunEmit& em) {
+    const int64_t lseg = 512, K = 256;
+    // plan (growing-buffer retry mirrors the Python wrapper)
+    std::vector<int64_t> bq, bt;
+    {
+        int64_t cap = std::max<int64_t>(64, m / 8);
+        for (;;) {
+            bq.resize(cap);
+            bt.resize(cap);
+            int64_t got = plan_block(q, m, t, n, seg_target, lseg, K,
+                                     bq.data(), bt.data(), cap);
+            if (got == -1) {
+                cap *= 4;
+                continue;
+            }
+            if (got == 0) return 0;
+            bq.resize(got);
+            bt.resize(got);
+            break;
+        }
+    }
+    // span classification — mirrors the plan/pieces loop
+    struct Ent {
+        char type;          // 'P' piece | 'G' placed piece | 'I' | 'D'
+        int64_t cnt = 0;    // for I/D entries
+        int64_t piece = -1;
+        int64_t pre_cnt = 0, post_cnt = 0;
+        char gap_op = 0;    // 'I' or 'D' for G pre/post runs
+        int64_t q0 = 0, q1 = 0, t0 = 0, t1 = 0;  // piece slices
+    };
+    std::vector<Ent> plan;
+    int64_t n_pieces = 0;
+    for (size_t i = 0; i + 1 < bq.size(); i++) {
+        const int64_t q0 = bq[i], q1 = bq[i + 1];
+        const int64_t t0 = bt[i], t1 = bt[i + 1];
+        const int64_t dq = q1 - q0, dt = t1 - t0;
+        Ent e;
+        if (dq == 0) {
+            e.type = 'D';
+            e.cnt = dt;
+        } else if (dt == 0) {
+            e.type = 'I';
+            e.cnt = dq;
+        } else if (dq - dt > 400 || dt - dq > 400) {
+            const int64_t skew = dq - dt;
+            const int64_t off =
+                skew > 0 ? place_short(t + t0, dt, q + q0, dq, 13, 8)
+                         : place_short(q + q0, dq, t + t0, dt, 13, 8);
+            if (off < 0) {
+                e.type = 'P';
+                e.piece = n_pieces++;
+                e.q0 = q0; e.q1 = q1; e.t0 = t0; e.t1 = t1;
+            } else if (skew > 0) {
+                e.type = 'G';
+                e.gap_op = 'I';
+                e.pre_cnt = off;
+                e.post_cnt = skew - off;
+                e.piece = n_pieces++;
+                e.q0 = q0 + off; e.q1 = q0 + off + dt;
+                e.t0 = t0; e.t1 = t1;
+            } else {
+                e.type = 'G';
+                e.gap_op = 'D';
+                e.pre_cnt = off;
+                e.post_cnt = -skew - off;
+                e.piece = n_pieces++;
+                e.q0 = q0; e.q1 = q1;
+                e.t0 = t0 + off; e.t1 = t0 + off + dq;
+            }
+        } else {
+            e.type = 'P';
+            e.piece = n_pieces++;
+            e.q0 = q0; e.q1 = q1; e.t0 = t0; e.t1 = t1;
+        }
+        plan.push_back(e);
+    }
+    // solve pieces (plan order == piece order)
+    std::vector<std::vector<int64_t>> solved(n_pieces);
+    std::vector<int64_t> scratch;
+    for (const Ent& e : plan) {
+        if (e.piece < 0) continue;
+        const int64_t pm = e.q1 - e.q0, pn = e.t1 - e.t0;
+        const int64_t junk =
+            ((int64_t)x * std::min(pm, pn)) * 55 / 100 + 64;
+        const int64_t cap_s =
+            (depth == 0 && refine_cap > 0) ? std::min(junk, refine_cap)
+                                           : junk;
+        scratch.resize((size_t)(pm + pn + 64));
+        int64_t score = 0;
+        int64_t got = wfa_align_native(
+            q + e.q0, pm, t + e.t0, pn, x, o1, e1, o2, e2, 0, 0, 0, 0,
+            cap_s, scratch.data(), (int64_t)scratch.size(), &score,
+            mem_cap);
+        if (got >= 0) {
+            solved[e.piece].assign(scratch.begin(),
+                                   scratch.begin() + got);
+            continue;
+        }
+        if (got == -4 || got == -3 || got == -2) return got;
+        // got == -1: piece exceeded its cap
+        RunEmit sub;
+        int64_t r = 0;
+        if (depth == 0 && std::min(pm, pn) >= 96)
+            r = solve_block(q + e.q0, pm, t + e.t0, pn, x, o1, e1, o2,
+                            e2, 128, refine_cap, 1, mem_cap, sub);
+        if (r < 0) return r;
+        if (r == 1) {
+            solved[e.piece] = std::move(sub.runs);
+        } else {
+            RunEmit d;
+            diag_ops(q + e.q0, pm, t + e.t0, pn, d);
+            solved[e.piece] = std::move(d.runs);
+        }
+    }
+    // stitch
+    for (const Ent& e : plan) {
+        if (e.type == 'P') {
+            em.emit_packed(solved[e.piece].data(),
+                           (int64_t)solved[e.piece].size());
+        } else if (e.type == 'G') {
+            em.emit(e.pre_cnt, e.gap_op);
+            em.emit_packed(solved[e.piece].data(),
+                           (int64_t)solved[e.piece].size());
+            em.emit(e.post_cnt, e.gap_op);
+        } else {
+            em.emit(e.cnt, e.type);
+        }
+    }
+    return 1;
+}
+
+}  // namespace segsolve
+
+extern "C" {
+
+// One-call segmented host alignment for a block. Writes packed RLE
+// runs ((count << 8) | op) to out. Returns the run count, 0 when the
+// block is unplannable (caller falls back to its exact path), -2 when
+// out is too small (caller retries with a bigger buffer), -3 on a WFA
+// convergence failure (caller falls back to the Python spec), -4 when
+// a piece exceeded mem_cap (caller reroutes — WfaMemoryBudget).
+int64_t segmented_solve(const uint8_t* q, int64_t m, const uint8_t* t,
+                        int64_t n, int32_t x, int32_t o1, int32_t e1,
+                        int32_t o2, int32_t e2, int64_t seg_target,
+                        int64_t refine_cap, int64_t* out, int64_t cap,
+                        int64_t mem_cap) {
+    segsolve::RunEmit em;
+    int64_t r = segsolve::solve_block(q, m, t, n, x, o1, e1, o2, e2,
+                                      seg_target, refine_cap, 0,
+                                      mem_cap, em);
+    if (r <= 0) return r;
+    if ((int64_t)em.runs.size() > cap) return -2;
+    std::copy(em.runs.begin(), em.runs.end(), out);
+    return (int64_t)em.runs.size();
+}
+
+}  // extern "C"
