@@ -238,3 +238,39 @@ def test_structural_gap_placement():
     assert ops is not None
     assert C.validate(ops, q, t, 0, 0)
     assert max((n for n, op in ops if op == "I"), default=0) > 2000
+
+
+def test_fast_head_patch_score_identical():
+    """Free-begin patches solved on the reversed sequences (the host
+    engine's fast head-patch path) are score-identical to the forward
+    free-begin solve, and the reversed CIGAR replays."""
+    import numpy as np
+
+    from wfmash_tpu.align import cigar as C
+    from wfmash_tpu.align.biwfa import EndsFree, Penalties
+    from wfmash_tpu.align.wfa_vec import wfa_align
+
+    p = Penalties(5, 8, 2, 24, 1)
+    rng = np.random.default_rng(17)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(25):
+        n = int(rng.integers(60, 1200))
+        t = bytes(lut[rng.integers(0, 4, n)])
+        q = bytearray(t)
+        for _ in range(int(n * 0.08)):
+            q[int(rng.integers(0, n))] = int(lut[rng.integers(0, 4)])
+        q = bytes(q)
+        tb = int(rng.integers(1, n))
+        qb = int(rng.integers(1, n))
+        s_fwd, _ = wfa_align(q, t, p,
+                             EndsFree(target_begin=tb, query_begin=qb))
+        s_rev, ops = wfa_align(q[::-1], t[::-1], p,
+                               EndsFree(target_end=tb, query_end=qb))
+        assert s_fwd == s_rev, (i, s_fwd, s_rev)
+        ops = ops[::-1]
+        # the reversed CIGAR consumes exactly the right suffix lengths
+        # and replays against the forward sequences from its skip point
+        (_, _, _, _, _, _, ref_len, q_len) = C.stats(ops)
+        q_skip, t_skip = len(q) - q_len, len(t) - ref_len
+        assert 0 <= q_skip <= qb and 0 <= t_skip <= tb, (i, q_skip, t_skip)
+        assert C.validate(ops, q, t, q_skip, t_skip), i

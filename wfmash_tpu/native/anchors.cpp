@@ -148,38 +148,115 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
             if (s->qn == 1 && s->tn == 1)
                 pairs.push_back({(uint64_t)s->qpos, s->tpos});
     } else {
-        // sort by (code, pos) — matches numpy's stable code sort of
-        // position-ordered entries
-        auto by_code = [](const CP& a, const CP& b) {
-            return a.code != b.code ? a.code < b.code : a.pos < b.pos;
+        // rare-kmer hash join: count per-code occurrences and chain up
+        // to max_occ positions per side; when the total cartesian pair
+        // count stays <= max_pairs the Python spec's mid-stream cutoff
+        // can never trigger, so pair order is irrelevant (the lexsort
+        // below canonicalizes it) and the two code sorts are avoided —
+        // the planning ladder's hottest cost on divergent blocks.
+        struct RSlot {
+            uint32_t epoch = 0;
+            int32_t qn = 0, tn = 0;
+            uint64_t code = 0;
+            int32_t qhead = -1, thead = -1;
         };
-        std::sort(qc.begin(), qc.end(), by_code);
-        std::sort(tc.begin(), tc.end(), by_code);
-        // pair up codes with count <= max_occ on both sides
-        size_t i = 0, j = 0;
-        bool cut = false;
-        while (i < qc.size() && j < tc.size()) {
-            uint64_t c = qc[i].code;
-            if (c < tc[j].code) { i++; continue; }
-            if (c > tc[j].code) { j++; continue; }
-            size_t i1 = i, j1 = j;
-            while (i1 < qc.size() && qc[i1].code == c) i1++;
-            while (j1 < tc.size() && tc[j1].code == c) j1++;
-            if ((int64_t)(i1 - i) <= max_occ &&
-                (int64_t)(j1 - j) <= max_occ) {
-                for (size_t a = i; a < i1 && !cut; a++) {
-                    for (size_t b = j; b < j1; b++)
-                        pairs.push_back({(uint64_t)qc[a].pos, tc[b].pos});
-                    // the Python spec caps the cartesian pairing only on
-                    // the rare-kmer (max_occ > 1) path, checking AFTER
-                    // appending each query k-mer's hits (unique matches
-                    // are never capped there)
-                    if (max_occ > 1 && (int64_t)pairs.size() > max_pairs)
-                        cut = true;
+        static thread_local std::vector<RSlot> rtable;
+        static thread_local uint32_t repoch = 0;
+        size_t want = 1;
+        while (want < 2 * (qc.size() + tc.size() + 1)) want <<= 1;
+        if (rtable.size() < want || repoch == 0xFFFFFFFFu) {
+            rtable.assign(std::max(want, rtable.size()), RSlot{});
+            repoch = 0;
+        }
+        repoch++;
+        const size_t rmsk = rtable.size() - 1;
+        auto rslot_of = [&](uint64_t code) -> RSlot& {
+            size_t h = (size_t)(code * 0x9E3779B97F4A7C15ull) & rmsk;
+            for (;;) {
+                RSlot& s = rtable[h];
+                if (s.epoch != repoch) {
+                    s.epoch = repoch;
+                    s.code = code;
+                    s.qn = s.tn = 0;
+                    s.qhead = s.thead = -1;
+                    return s;
                 }
-                if (cut) break;
+                if (s.code == code) return s;
+                h = (h + 1) & rmsk;
             }
-            i = i1; j = j1;
+        };
+        // position chains: (pos, next-index); heads live in the slots
+        std::vector<std::pair<int64_t, int32_t>> qch, tch;
+        qch.reserve(qc.size());
+        std::vector<RSlot*> touched;
+        for (const CP& e : qc) {
+            RSlot& s = rslot_of(e.code);
+            s.qn++;
+            if (s.qn <= max_occ) {
+                qch.push_back({e.pos, s.qhead});
+                s.qhead = (int32_t)qch.size() - 1;
+            }
+        }
+        for (const CP& e : tc) {
+            RSlot& s = rslot_of(e.code);
+            if (s.qn == 0) continue;
+            s.tn++;
+            if (s.tn == 1) touched.push_back(&s);
+            if (s.tn <= max_occ) {
+                tch.push_back({e.pos, s.thead});
+                s.thead = (int32_t)tch.size() - 1;
+            }
+        }
+        int64_t total = 0;
+        for (RSlot* s : touched)
+            if (s->qn <= max_occ && s->tn <= max_occ)
+                total += (int64_t)s->qn * s->tn;
+        if (total <= max_pairs) {
+            pairs.reserve((size_t)total);
+            for (RSlot* s : touched) {
+                if (s->qn > max_occ || s->tn > max_occ) continue;
+                for (int32_t qi = s->qhead; qi >= 0; qi = qch[qi].second)
+                    for (int32_t ti = s->thead; ti >= 0;
+                         ti = tch[ti].second)
+                        pairs.push_back(
+                            {(uint64_t)qch[qi].first, tch[ti].first});
+            }
+        } else {
+            // over-cap: the spec's mid-stream cutoff order matters —
+            // code-sorted path
+            auto by_code = [](const CP& a, const CP& b) {
+                return a.code != b.code ? a.code < b.code : a.pos < b.pos;
+            };
+            std::sort(qc.begin(), qc.end(), by_code);
+            std::sort(tc.begin(), tc.end(), by_code);
+            // pair up codes with count <= max_occ on both sides
+            size_t i = 0, j = 0;
+            bool cut = false;
+            while (i < qc.size() && j < tc.size()) {
+                uint64_t c = qc[i].code;
+                if (c < tc[j].code) { i++; continue; }
+                if (c > tc[j].code) { j++; continue; }
+                size_t i1 = i, j1 = j;
+                while (i1 < qc.size() && qc[i1].code == c) i1++;
+                while (j1 < tc.size() && tc[j1].code == c) j1++;
+                if ((int64_t)(i1 - i) <= max_occ &&
+                    (int64_t)(j1 - j) <= max_occ) {
+                    for (size_t a = i; a < i1 && !cut; a++) {
+                        for (size_t b = j; b < j1; b++)
+                            pairs.push_back(
+                                {(uint64_t)qc[a].pos, tc[b].pos});
+                        // the Python spec caps the cartesian pairing
+                        // only on the rare-kmer (max_occ > 1) path,
+                        // checking AFTER appending each query k-mer's
+                        // hits (unique matches are never capped there)
+                        if (max_occ > 1 &&
+                            (int64_t)pairs.size() > max_pairs)
+                            cut = true;
+                    }
+                    if (cut) break;
+                }
+                i = i1; j = j1;
+            }
         }
     }
     if (pairs.empty()) return;
