@@ -527,3 +527,44 @@ def test_native_segmented_solve_vs_python():
         finally:
             native.segmented_solve_native = saved
         assert nat == py, (i, type(nat), type(py))
+
+
+def test_native_chain_roots_vs_python():
+    """l1l2.cpp:chain_roots (union-find chain merge) is bit-identical to
+    the Python spec path of merge_mappings_with_chains — including the
+    dset64 rank/tie rules the downstream chain ids observe."""
+    import numpy as np
+
+    import wfmash_tpu.map.chain as CH
+    import wfmash_tpu.native as native
+    from wfmash_tpu.map.l1l2 import FLAG_REV, MAPPING_DTYPE
+    from wfmash_tpu.params import MapParams
+
+    if native.get_l1l2_lib() is None:
+        pytest.skip("native l1l2 lib unavailable")
+
+    rng = np.random.default_rng(41)
+    params = MapParams(ref_sequences=["x"], query_sequences=["y"],
+                       split=True)
+    for trial in range(15):
+        n = int(rng.integers(2, 400))
+        m = np.zeros(n, MAPPING_DTYPE)
+        m["ref_seq_id"] = rng.integers(0, 3, n)
+        m["ref_start"] = rng.integers(0, 50000, n)
+        m["query_start"] = rng.integers(0, 50000, n)
+        m["block_length"] = rng.integers(100, 3000, n)
+        m["flags"] = np.where(rng.random(n) < 0.4, FLAG_REV, 0)
+        m["nuc_identity"] = rng.integers(8000, 10000, n)
+        m["kmer_complexity"] = rng.integers(0, 100, n)
+        m["conserved_sketches"] = rng.integers(0, 50, n)
+        max_dist = int(rng.integers(500, 8000))
+        got = CH.merge_mappings_with_chains(m.copy(), max_dist, params)
+        saved = native.chain_roots_native
+        try:
+            native.chain_roots_native = lambda *a, **k: None
+            want = CH.merge_mappings_with_chains(m.copy(), max_dist,
+                                                 params)
+        finally:
+            native.chain_roots_native = saved
+        assert np.array_equal(got[0], want[0]), trial
+        assert np.array_equal(got[1], want[1]), trial

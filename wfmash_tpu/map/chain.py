@@ -105,6 +105,16 @@ def merge_mappings_with_chains(
     r_start, r_end = r_start[p], r_end[p]
     split_id = p.astype(np.int64).copy()  # original index = stable chain id
 
+    from ..native import chain_roots_native
+
+    nat = chain_roots_native(
+        m["ref_seq_id"], strand, q_start, q_end, r_start, r_end,
+        split_id, max_dist, params.window_length // 5)
+    if nat is not None:
+        roots = nat
+        return _emit_merged(m, strand, q_start, q_end, r_start, r_end,
+                            roots, params)
+
     ds = _DisjointSets(n)
     INF = float("inf")
     pair_score = [INF] * n
@@ -151,7 +161,15 @@ def merge_mappings_with_chains(
         if pair_score[i] != INF:
             ds.unite(int(split_id[i]), pair_id[i])
     roots = np.array([ds.find(int(s)) for s in split_id], dtype=np.int64)
+    return _emit_merged(m, strand, q_start, q_end, r_start, r_end,
+                        roots, params)
 
+
+def _emit_merged(m, strand, q_start, q_end, r_start, r_end, roots,
+                 params):
+    """Merge chained runs into output mappings (shared by the native
+    chain_roots fast path and the Python spec)."""
+    n = len(m)
     # sort by (root, queryStart, refStart)
     p2 = np.lexsort((r_start, q_start, roots))
     m = m[p2]

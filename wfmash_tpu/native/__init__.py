@@ -214,8 +214,36 @@ def get_l1l2_lib():
         ctypes.c_int64,
         vp, vp, vp, vp, ctypes.c_int64,
     ]
+    lib.chain_roots.restype = None
+    lib.chain_roots.argtypes = [
+        vp, vp, vp, vp, vp, vp, vp,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, vp,
+    ]
     _lib2 = lib
     return _lib2
+
+
+def chain_roots_native(ref_seq_id, strand, q_start, q_end, r_start,
+                       r_end, split_id, max_dist, rdist_floor):
+    """Union-find chain roots (l1l2.cpp:chain_roots), bit-identical to
+    map.chain's Python spec (tested). Arrays must be the sorted order;
+    returns int64 roots or None when the lib is unavailable."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    n = len(split_id)
+    rs = np.ascontiguousarray(ref_seq_id, np.int64)
+    st = np.ascontiguousarray(strand, np.int8)
+    a = np.ascontiguousarray(q_start, np.int64)
+    b = np.ascontiguousarray(q_end, np.int64)
+    c = np.ascontiguousarray(r_start, np.int64)
+    d = np.ascontiguousarray(r_end, np.int64)
+    sp = np.ascontiguousarray(split_id, np.int64)
+    out = np.empty(n, np.int64)
+    lib.chain_roots(_ptr(rs), _ptr(st), _ptr(a), _ptr(b), _ptr(c),
+                    _ptr(d), _ptr(sp), n, int(max_dist),
+                    int(rdist_floor), _ptr(out))
+    return out
 
 
 def _ptr(a, ct=None):

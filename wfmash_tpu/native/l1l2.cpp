@@ -479,4 +479,80 @@ int64_t l2_walk_multi(const uint64_t* mi_hash, const int64_t* mi_wpos,
     return n_out;
 }
 
+// Union-find chaining roots for mergeMappingsInRangeWithChains
+// (map/chain.py::merge_mappings_with_chains is the Python spec —
+// bit-identical: dset64 union-by-rank with smaller-root-wins ties
+// [common/dset64.hpp:88-118 semantics], the same geometric best-pair
+// scan, and the same union call order, which the root identities —
+// and hence downstream chain ids — observe). Inputs are the SORTED
+// (refSeqId, strand, queryStart, refStart) order; split_id maps to
+// original indices. Writes find(split_id[i]) per position to out.
+void chain_roots(const int64_t* ref_seq_id, const int8_t* strand,
+                 const int64_t* q_start, const int64_t* q_end,
+                 const int64_t* r_start, const int64_t* r_end,
+                 const int64_t* split_id, int64_t n, int64_t max_dist,
+                 int64_t rdist_floor, int64_t* out) {
+    std::vector<int64_t> parent(n), rank_(n, 0);
+    for (int64_t i = 0; i < n; i++) parent[i] = i;
+    auto find = [&](int64_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    };
+    auto unite = [&](int64_t a, int64_t b) {
+        a = find(a);
+        b = find(b);
+        if (a == b) return;
+        int64_t r1 = rank_[a], r2 = rank_[b];
+        if (r1 > r2 || (r1 == r2 && a < b)) {
+            std::swap(a, b);
+            std::swap(r1, r2);
+        }
+        parent[a] = b;
+        if (r1 == r2) rank_[b]++;
+    };
+    const double INF = 1e300;
+    std::vector<double> pair_score(n, INF);
+    std::vector<int64_t> pair_id(n, 0);
+    int64_t g0 = 0;
+    while (g0 < n) {
+        int64_t g1 = g0 + 1;
+        while (g1 < n && ref_seq_id[g1] == ref_seq_id[g0] &&
+               strand[g1] == strand[g0])
+            g1++;
+        for (int64_t i = g0; i < g1; i++) {
+            if (pair_score[i] != INF) unite(split_id[i], pair_id[i]);
+            double best_score = INF;
+            int64_t best_j = g1;
+            for (int64_t j = i + 1; j < g1; j++) {
+                if (q_start[j] > q_end[i] + max_dist) break;
+                int64_t q_dist = q_start[j] - q_end[i];
+                if (q_dist < 0) q_dist = 0;
+                int64_t r_dist = (strand[i] >= 0)
+                                     ? r_start[j] - r_end[i]
+                                     : r_start[i] - r_end[j];
+                if (q_dist <= max_dist && r_dist >= -rdist_floor &&
+                    r_dist <= max_dist) {
+                    double dist_sq = (double)q_dist * q_dist +
+                                     (double)r_dist * r_dist;
+                    if (dist_sq < best_score && dist_sq < pair_score[j]) {
+                        best_score = dist_sq;
+                        best_j = j;
+                    }
+                }
+            }
+            if (best_j != g1) {
+                pair_score[best_j] = best_score;
+                pair_id[best_j] = split_id[i];
+            }
+        }
+        g0 = g1;
+    }
+    for (int64_t i = 0; i < n; i++)
+        if (pair_score[i] != INF) unite(split_id[i], pair_id[i]);
+    for (int64_t i = 0; i < n; i++) out[i] = find(split_id[i]);
+}
+
 }  // extern "C"
