@@ -568,3 +568,35 @@ def test_native_chain_roots_vs_python():
             native.chain_roots_native = saved
         assert np.array_equal(got[0], want[0]), trial
         assert np.array_equal(got[1], want[1]), trial
+
+
+def test_find_anchors_density_sampling_big_blocks():
+    """The stride-4 query-position sampling rule for unique anchors on
+    >16384 bp blocks is applied identically by the native and numpy
+    paths (it is part of the find_anchors spec)."""
+    import numpy as np
+
+    import wfmash_tpu.align.segmented as S
+    from wfmash_tpu.native import find_anchors_native
+
+    if find_anchors_native(b"ACGT" * 20, b"ACGT" * 20, 21, 1, 1000) is None:
+        pytest.skip("native anchors lib unavailable")
+
+    rng = np.random.default_rng(53)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(4):
+        L = int(rng.integers(17000, 40000))
+        t = lut[rng.integers(0, 4, L)]
+        q = t.copy()
+        mut = rng.random(L) < 0.02
+        q[mut] = lut[rng.integers(0, 4, int(mut.sum()))]
+        nat = find_anchors_native(q.tobytes(), t.tobytes(), 21, 1,
+                                  200_000)
+        qc, qv = S._kmer_codes(q, 21)
+        tc, tv = S._kmer_codes(t, 21)
+        qv = qv & (np.arange(len(qv)) % 4 == 0)
+        py = S._match_chain(qc, qv, tc, tv)
+        assert np.array_equal(nat[0], py[0]), trial
+        assert np.array_equal(nat[1], py[1]), trial
+        # sampled positions only
+        assert (nat[0] % 4 == 0).all(), trial

@@ -148,6 +148,12 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int = ANCHOR_K,
     qc, qv = _kmer_codes(q, k)
     tc, tv = _kmer_codes(t, k)
     if max_occ <= 1:
+        if len(q) > 16384:
+            # density sampling (spec rule, native twin in anchors.cpp):
+            # big blocks carry ~1 unique anchor per bp — thousands of
+            # times denser than the cut spacing needs; stride-4 query
+            # positions quarter the join/sort/LIS cost
+            qv = qv & (np.arange(len(qv)) % 4 == 0)
         return _match_chain(qc, qv, tc, tv)
     cq, pq = _rare_positions(qc, qv, max_occ)
     ct, pt = _rare_positions(tc, tv, max_occ)

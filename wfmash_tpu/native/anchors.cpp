@@ -72,11 +72,11 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
     }();
     const int8_t* B2 = B2_tab.data();
     struct CP { uint64_t code; int64_t pos; };
-    auto codes_of = [&](const uint8_t* s, int64_t len,
+    auto codes_of = [&](const uint8_t* s, int64_t len, int64_t stride,
                         std::vector<CP>& out_cp) {
         int64_t n = len - k + 1;
         if (n <= 0) return;
-        out_cp.reserve(n);
+        out_cp.reserve(stride > 1 ? n / stride + 1 : n);
         uint64_t code = 0;
         const uint64_t mask = (k >= 32) ? ~0ull
             : ((1ull << (2 * k)) - 1);
@@ -86,13 +86,23 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
             code = ((code << 2) | (uint64_t)(b < 0 ? 0 : b)) & mask;
             if (b < 0) bad = k;
             else if (bad > 0) bad--;
-            if (i >= k - 1 && bad == 0)
-                out_cp.push_back({code, i - k + 1});
+            if (i >= k - 1 && bad == 0) {
+                int64_t p = i - k + 1;
+                if (stride == 1 || p % stride == 0)
+                    out_cp.push_back({code, p});
+            }
         }
     };
+    // density sampling (spec rule, mirrored in segmented.find_anchors):
+    // on big blocks unique anchors land every ~1 bp and the chain is
+    // thousands of times denser than the >= seg_target cut spacing
+    // needs; sampling query-side k-mer positions at stride 4 keeps
+    // anchors every ~4 bp while quartering the join/sort/LIS cost.
+    const int64_t qstride =
+        (max_occ == 1 && qlen > 16384) ? 4 : 1;
     std::vector<CP> qc, tc;
-    codes_of(q, qlen, qc);
-    codes_of(t, tlen, tc);
+    codes_of(q, qlen, qstride, qc);
+    codes_of(t, tlen, 1, tc);
     if (qc.empty() || tc.empty()) return;
     std::vector<CP> pairs;   // code field reused as qpos; pos = tpos
     if (max_occ == 1) {
