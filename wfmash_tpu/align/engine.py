@@ -279,6 +279,62 @@ class BudgetedHostEngine(HostWfaEngine):
         self.fast_head_patch = os.environ.get(
             "WFMASH_TPU_FAST_HEAD_PATCH", "1") != "0"
 
+    def _probe_failed(self, query: bytes, target: bytes):
+        """Score-cap exceeded: segmented reroute (None => whole-block
+        exact path)."""
+        from ..native import WfaMemoryBudget
+        from .segmented import segmented_host_align
+
+        try:
+            return segmented_host_align(query, target, self.penalties)
+        except WfaMemoryBudget:
+            return None               # giant-skew piece: whole-block path
+
+    def align_batch(self, jobs):
+        """Batch fast path: ALL capped probes of the batch run in one
+        native call (wfa_align_batch); everything else — probe
+        failures' segmented reroutes, small blocks, patches — goes
+        through align() per job as before. Output is identical to the
+        per-job path (the probe is the same capped exact solve)."""
+        from ..native import WfaMemoryBudget, wfa_align_batch_native
+
+        if int(getattr(self, "threads", 1)) > 1:
+            # multi-core hosts: the per-job thread pool (GIL released
+            # inside the native calls) beats one serial batched call
+            return super().align_batch(jobs)
+        out: list = [None] * len(jobs)
+        todo = list(range(len(jobs)))
+        probe_idx = [
+            i for i, (q, t, ef) in enumerate(jobs)
+            if ef is None and self.score_cap > 0
+            and min(len(q), len(t)) >= 2000
+        ]
+        if len(probe_idx) >= 2:
+            solved = None
+            try:
+                solved = wfa_align_batch_native(
+                    [(jobs[i][0], jobs[i][1]) for i in probe_idx],
+                    self.penalties,
+                    max_scores=[self.score_cap] * len(probe_idx))
+            except WfaMemoryBudget:   # pragma: no cover - tiny cap
+                solved = None
+            if solved is not None:
+                done = set()
+                for i, (_, ops) in zip(probe_idx, solved):
+                    if ops is not None:
+                        out[i] = ops
+                        done.add(i)
+                    else:
+                        ops = self._probe_failed(jobs[i][0], jobs[i][1])
+                        if ops is not None:
+                            out[i] = ops
+                            done.add(i)
+                todo = [i for i in todo if i not in done]
+        for i in todo:
+            q, t, ef = jobs[i]
+            out[i] = self.align(q, t, ef)
+        return out
+
     def align(self, query: bytes, target: bytes, ends_free=None):
         from ..native import WfaMemoryBudget
         from .biwfa import EndsFree
@@ -315,12 +371,7 @@ class BudgetedHostEngine(HostWfaEngine):
                 ops = None
             if ops is not None:
                 return ops
-            from .segmented import segmented_host_align
-
-            try:
-                ops = segmented_host_align(query, target, self.penalties)
-            except WfaMemoryBudget:
-                ops = None            # giant-skew piece: whole-block path
+            ops = self._probe_failed(query, target)
             if ops is not None:
                 return ops
         try:

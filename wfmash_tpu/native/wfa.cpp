@@ -170,9 +170,13 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
     std::vector<Level<T>> hist;
 
     auto extend = [&](int64_t h, int64_t v) -> int64_t {
-        // LCP from (h query, v target); 8-byte fast path
+        // LCP from (h query, v target); 64-byte memcmp strides (glibc
+        // memcmp is AVX-vectorized) with an 8-byte XOR/ctz finisher
         int64_t lim = (m - h < n - v) ? m - h : n - v;
         int64_t r = 0;
+        while (r + 64 <= lim &&
+               memcmp(q + h + r, t + v + r, 64) == 0)
+            r += 64;
         while (r + 8 <= lim) {
             uint64_t a, b;
             memcpy(&a, q + h + r, 8);
