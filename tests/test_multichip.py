@@ -219,3 +219,59 @@ def test_sharded_align_paf_byte_identical(tmp_path, monkeypatch):
     single = run("0")
     assert single
     assert run("force") == single
+
+
+def test_diagonal_sharded_wfa_bit_identical():
+    """The diagonal-sharded wavefront advance (one giant problem's K
+    axis split over the mesh, ring-history halos over ppermute) is
+    bit-identical to the single-device _advance loop — offsets AND the
+    crossing-anchor payload, so biWFA midpoint recursion works on top."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from wfmash_tpu.align.wfa_jax import (
+        NEG_I, _advance, _pack_words, make_blocks, ring_size,
+    )
+    from wfmash_tpu.align.wfa_np import Penalties
+    from wfmash_tpu.parallel.mesh import diagonal_sharded_wfa_steps
+
+    p = Penalties(5, 8, 2, 24, 1)
+    R = ring_size(p)
+    B, K, L = 2, 256, 480
+    rng = np.random.default_rng(0)
+    q = rng.integers(65, 69, (B, L), dtype=np.uint8)
+    t = q.copy()
+    t[:, ::11] = 65
+    t[:, ::29] = 67
+    query_w = jnp.asarray(_pack_words(q))
+    target_w = jnp.asarray(_pack_words(t))
+    qlen = jnp.full((B,), L - 8, jnp.int32)
+    tlen = jnp.full((B,), L - 12, jnp.int32)
+    off = np.full((B, R, 5, K), NEG_I, np.int32)
+    off[:, 0, 0, K // 2] = 0
+    off = jnp.asarray(off)
+    anc_v = jnp.full((B, R, 5, K), -1, jnp.int32)
+    anc_h = anc_v
+    open_a = jnp.full((B, R, 4, K), -1, jnp.int32)
+    axis_q = jnp.zeros((B,), bool)
+    mid = tlen // 2
+    n_steps = 48
+
+    qb, tb = make_blocks(query_w), make_blocks(target_w)
+
+    def body(s, carry):
+        o, av, ah, op = carry
+        o, av, ah, op, _, _, _ = _advance(
+            o, av, ah, op, s, qb, tb, qlen, tlen, axis_q, mid, K, R, p)
+        return (o, av, ah, op)
+
+    ref = jax.lax.fori_loop(1, n_steps + 1, body,
+                            (off, anc_v, anc_h, open_a))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    got = diagonal_sharded_wfa_steps(
+        off, anc_v, anc_h, open_a, query_w, target_w, qlen, tlen,
+        axis_q, mid, mesh, n_steps, p)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -91,16 +91,20 @@ def ring_size(p: Penalties) -> int:
 
 
 def _advance(off, anc_v, anc_h, open_a, s, query_b, target_b, qlen, tlen,
-             axis_is_query, mid, K: int, R: int, penalties: Penalties):
+             axis_is_query, mid, K: int, R: int, penalties: Penalties,
+             kvec=None):
     """One score step. query_b/target_b are block tables from
-    :func:`make_blocks`."""
+    :func:`make_blocks`. kvec optionally overrides the lane->diagonal
+    map (default: lane i is diagonal i - K//2) — the diagonal-sharded
+    multi-chip sweep passes each shard's global diagonal window."""
     p = penalties
     x, o1, e1, o2, e2 = (
         p.mismatch, p.gap_opening1, p.gap_extension1,
         p.gap_opening2, p.gap_extension2,
     )
     B = off.shape[0]
-    kvec = (jnp.arange(K, dtype=jnp.int32) - K // 2)[None, :]
+    if kvec is None:
+        kvec = (jnp.arange(K, dtype=jnp.int32) - K // 2)[None, :]
 
     def land(score, state, arr, fill):
         ok = score >= 0
@@ -267,9 +271,10 @@ def _advance(off, anc_v, anc_h, open_a, s, query_b, target_b, qlen, tlen,
     anc_h = anc_h.at[:, slot].set(new_ph_all)
     open_a = open_a.at[:, slot].set(new_open_all)
 
-    # termination info: M offset on the final diagonal
+    # termination info: M offset on the final diagonal (lane index =
+    # k_end - first lane's diagonal; equals k_end + K//2 by default)
     k_end = qlen - tlen
-    d_end = jnp.clip(k_end + K // 2, 0, K - 1)
+    d_end = jnp.clip(k_end - kvec[0, 0], 0, K - 1)
     final_off = jnp.take_along_axis(m_ext, d_end[:, None], axis=1)[:, 0]
     final_pv = jnp.take_along_axis(m_pv, d_end[:, None], axis=1)[:, 0]
     final_ph = jnp.take_along_axis(m_ph, d_end[:, None], axis=1)[:, 0]

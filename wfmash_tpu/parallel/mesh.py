@@ -10,9 +10,10 @@ same decomposition on a `jax.sharding.Mesh`:
   per-shard hit counts combine with a `psum` over ICI.
 * axis "data": query fragments and WFA alignment problems are
   DATA-PARALLEL — each device advances its own batch of wavefronts in
-  lockstep; no cross-chip communication is needed inside WFA (the
-  blockwise anti-diagonal split for single giant alignments is the
-  sequence-parallel extension, later work).
+  lockstep; no cross-chip communication is needed inside WFA.
+* sequence-parallel: `diagonal_sharded_wfa_steps` splits ONE giant
+  problem's wavefront-diagonal axis across the mesh with ring-history
+  halo exchange (bit-identical to the single-device advance).
 
 `multichip_step` is the canonical full step (fragment hash join + WFA
 wavefront advance) used by __graft_entry__.dryrun_multichip.
@@ -261,6 +262,88 @@ def data_parallel_wfa_steps(off, query_w, target_w, qlen, tlen, mesh: Mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         out_specs=P("data"),
     )(off, query_w, target_w, qlen, tlen)
+
+
+def diagonal_sharded_wfa_steps(off, anc_v, anc_h, open_a, query_w,
+                               target_w, qlen, tlen, axis_is_query, mid,
+                               mesh: Mesh, n_steps: int, penalties):
+    """Advance wavefront rings n_steps score levels with the DIAGONAL
+    axis sharded across the mesh — the sequence-parallel path for ONE
+    giant alignment that no single chip's K window can hold.
+
+    This is the blockwise anti-diagonal decomposition (SURVEY §5
+    long-context analogue; reference analogue: none — wfmash splits
+    giant problems serially): each device owns a contiguous window of
+    wavefront diagonals, and because every WFA recurrence reads only
+    lanes k-1/k/k+1, one ring-history halo lane per side per score
+    step suffices. Halos ride the ICI via `ppermute`; sequences are
+    replicated (uint8 words — gigabase-scale still fits HBM). The
+    advanced rings are BIT-IDENTICAL to the single-device `_advance`
+    loop (tests/test_multichip.py), so the crossing-anchor payload
+    (biWFA midpoint recursion) works unchanged on top.
+
+    off/anc_v/anc_h: (B, R, 5, K); open_a: (B, R, 4, K); K must be a
+    multiple of the mesh's "data" size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..align.wfa_jax import NEG_I, _advance, make_blocks
+
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    axis = mesh.axis_names[-1]
+    B, R, _, K = off.shape
+    if K % n:
+        raise ValueError(f"K={K} not divisible by mesh size {n}")
+    NEG = NEG_I
+    UNSET = -1
+
+    def local_steps(off, anc_v, anc_h, open_a, query_w, target_w, qlen,
+                    tlen, axis_is_query, mid):
+        idx = jax.lax.axis_index(axis)
+        Kl = off.shape[-1]
+        query_b = make_blocks(query_w)
+        target_b = make_blocks(target_w)
+        # global diagonal of each padded lane (halo lanes included)
+        kvec = (jnp.arange(Kl + 2, dtype=jnp.int32) - 1 + idx * Kl
+                - K // 2)[None, :]
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+
+        def halo(a, fill):
+            left = jax.lax.ppermute(a[..., -1:], axis, fwd)
+            right = jax.lax.ppermute(a[..., :1], axis, bwd)
+            left = jnp.where(idx == 0, fill, left)
+            right = jnp.where(idx == n - 1, fill, right)
+            return jnp.concatenate([left, a, right], axis=-1)
+
+        def body(s, carry):
+            off, anc_v, anc_h, open_a = carry
+            off_p, av_p, ah_p, op_p, _, _, _ = _advance(
+                halo(off, NEG), halo(anc_v, anc_v.dtype.type(UNSET)),
+                halo(anc_h, anc_h.dtype.type(UNSET)),
+                halo(open_a, open_a.dtype.type(UNSET)), s,
+                query_b, target_b, qlen, tlen, axis_is_query, mid,
+                Kl + 2, R, penalties, kvec=kvec)
+            # halo lanes were computed without THEIR neighbors — drop
+            # them; the owner shard recomputes them correctly and the
+            # next step's halo refetches
+            return (off_p[..., 1:-1], av_p[..., 1:-1],
+                    ah_p[..., 1:-1], op_p[..., 1:-1])
+
+        return jax.lax.fori_loop(1, n_steps + 1, body,
+                                 (off, anc_v, anc_h, open_a))
+
+    sh = P(None, None, None, axis)
+    rep = P(*([None] * 2))
+    return shard_map(
+        local_steps,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, sh, rep, rep, P(None), P(None), P(None),
+                  P(None)),
+        out_specs=(sh, sh, sh, sh),
+        check_rep=False,
+    )(off, anc_v, anc_h, open_a, query_w, target_w, qlen, tlen,
+      axis_is_query, mid)
 
 
 def multichip_step(mesh: Mesh, penalties, n_steps: int = 8):
