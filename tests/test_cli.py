@@ -116,3 +116,47 @@ def test_all_vs_all_default_query(fastas):
     t, _ = fastas
     mp, *_ = parse_args([t, "-m"])
     assert mp.query_sequences == [t]
+
+
+def test_path_patching_tsv(tmp_path):
+    """--path-patching-tsv writes one row per attempted boundary patch
+    (reference: parse_args.hpp:146, WFA_PNG_TSV_TIMING debug option)."""
+    import io
+
+    import numpy as np
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(5)
+    base = random_dna(rng, 9000)
+    # heavily divergent flanks force head/tail erosion + patching
+    q = (mutate(rng, base[:400], 0.15) + mutate(rng, base[400:8600], 0.02)
+         + mutate(rng, base[8600:], 0.15))
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": base})
+    write_fasta(qfa, {"q1": q})
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.8, scaffold_gap=0,
+                   auto_pct_identity=False).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    assert buf.getvalue().strip(), "fixture produced no mappings"
+    paf = tmp_path / "m.paf"
+    paf.write_text(buf.getvalue())
+    tsv = tmp_path / "patch.tsv"
+    ap = AlignParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                     mashmap_paf_file=str(paf),
+                     path_patching_tsv=str(tsv)).finalize(mp.window_length)
+    out = io.StringIO()
+    run_alignment(ap, out)
+    lines = tsv.read_text().splitlines()
+    assert lines[0].startswith("query.name\tquery.start")
+    assert len(lines) >= 2          # at least one patch attempted
+    for row in lines[1:]:
+        f = row.split("\t")
+        assert len(f) == 10
+        assert f[6] in ("head", "tail")
+        assert f[9] in ("0", "1")

@@ -138,14 +138,17 @@ def finish_record_host(job, ops, penalties, disable_chain_patching=False):
                          disable_chain_patching)
 
 
-def patch_boundaries_batched(items: list, engine) -> list:
+def patch_boundaries_batched(items: list, engine, trace=None) -> list:
     """items: [(ops, query, target)] -> list of patched ops.
 
     Replicates patch_boundaries record-for-record (head patch first,
     tail erode computed on the head-merged CIGAR, wflign.cpp:240-418)
     but batches the ends-free re-alignments across ALL records into two
     engine.align_batch calls, so they run on the device segment kernel
-    instead of one host WFA per record (round-2's patch long tail)."""
+    instead of one host WFA per record (round-2's patch long tail).
+
+    trace: optional list; appends (item_idx, kind, q_erode, t_erode,
+    applied) per attempted patch (--path-patching-tsv)."""
     out = [ops for ops, _, _ in items]
     head_jobs, head_meta = [], []
     for i, (ops, q, t) in enumerate(items):
@@ -155,13 +158,15 @@ def patch_boundaries_batched(items: list, engine) -> list:
         if q_er > 3 or t_er > 3:
             head_jobs.append((q[:q_er], t[:t_er],
                               EndsFree(target_begin=t_er, query_begin=q_er)))
-            head_meta.append((i, erode_ops))
+            head_meta.append((i, erode_ops, q_er, t_er))
     if head_jobs:
         got = engine.align_batch(head_jobs)
-        for (i, erode_ops), hops in zip(head_meta, got):
+        for (i, erode_ops, q_er, t_er), hops in zip(head_meta, got):
             if hops is not None:
                 hops = C.erode_short_matches(hops, 3, is_head=True)
                 out[i] = C.merge_adjacent(hops, out[i][erode_ops:])
+            if trace is not None:
+                trace.append((i, "head", q_er, t_er, hops is not None))
     tail_jobs, tail_meta = [], []
     for i, (_, q, t) in enumerate(items):
         q_er, t_er, erode_start = C.erode_tail(
@@ -171,29 +176,34 @@ def patch_boundaries_batched(items: list, engine) -> list:
         if q_er > 3 or t_er > 3:
             tail_jobs.append((q[len(q) - q_er:], t[len(t) - t_er:],
                               EndsFree(target_end=t_er, query_end=q_er)))
-            tail_meta.append((i, erode_start))
+            tail_meta.append((i, erode_start, q_er, t_er))
     if tail_jobs:
         got = engine.align_batch(tail_jobs)
-        for (i, erode_start), tops in zip(tail_meta, got):
+        for (i, erode_start, q_er, t_er), tops in zip(tail_meta, got):
             if tops is not None:
                 tops = C.erode_short_matches(tops, 3, is_head=False)
                 out[i] = C.merge_adjacent(out[i][:erode_start], tops)
+            if trace is not None:
+                trace.append((i, "tail", q_er, t_er, tops is not None))
     return out
 
 
-def align_records_batched(jobs: list, engine, disable_chain_patching=False):
+def align_records_batched(jobs: list, engine, disable_chain_patching=False,
+                          trace=None):
     """Phase-structured batch: all main end-to-end alignments go through
     the (device) engine as one batch, then all boundary patches as two
     more batches, then swizzles per record. Returns a list of ops (None
     for failed records)."""
     mains = engine.align_batch([(j.query, j.target, None) for j in jobs])
     return finish_records_batched(jobs, mains, engine,
-                                  disable_chain_patching)
+                                  disable_chain_patching, trace=trace)
 
 
 def finish_records_batched(jobs: list, mains: list, engine,
-                           disable_chain_patching=False):
-    """Batched patch + swizzle for records whose mains are computed."""
+                           disable_chain_patching=False, trace=None):
+    """Batched patch + swizzle for records whose mains are computed.
+    trace: optional list receiving (job_idx, kind, q_erode, t_erode,
+    applied) patch rows (--path-patching-tsv)."""
     import time as _time
 
     from ..utils import perf
@@ -202,9 +212,13 @@ def finish_records_batched(jobs: list, mains: list, engine,
     out: list = [None] * len(jobs)
     _t0 = _time.monotonic()
     if not disable_chain_patching:
+        ptrace = [] if trace is not None else None
         patched = patch_boundaries_batched(
             [(mains[i], jobs[i].query, jobs[i].target) for i in keep],
-            engine)
+            engine, trace=ptrace)
+        if trace is not None:
+            trace.extend((keep[pi], kind, qe, te, ap)
+                         for pi, kind, qe, te, ap in ptrace)
     else:
         patched = [mains[i] for i in keep]
     perf.add("align.patch_s", _time.monotonic() - _t0)

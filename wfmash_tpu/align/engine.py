@@ -441,6 +441,15 @@ def run_alignment(params: AlignParams, out) -> None:
     n_aligned = 0
     batch_bp = int(_os2.environ.get("WFMASH_TPU_ALIGN_BATCH_BP",
                                     str(256 * 1024 * 1024)))
+    # --path-patching-tsv (reference: parse_args.hpp:146, a
+    # WFA_PNG_TSV_TIMING debug build option; row format adapted to this
+    # engine's erode + ends-free batched patch phase)
+    tsv = None
+    if getattr(params, "path_patching_tsv", None):
+        tsv = open(params.path_patching_tsv, "w")
+        tsv.write("query.name\tquery.start\tquery.end\ttarget.name\t"
+                  "target.start\ttarget.end\tkind\tquery.eroded.bp\t"
+                  "target.eroded.bp\tpatch.applied\n")
     meter = ProgressMeter(max(len(rows), 1), "[wfmash::align] aligning")
     start = 0
     while start < len(rows):
@@ -464,9 +473,22 @@ def run_alignment(params: AlignParams, out) -> None:
             # round-2 fork-pool-per-record patch phase kept the device
             # idle; host work is now just erode/splice/swizzle (the
             # engine itself fork-pools any leftover host WFA leaves)
+            trace = [] if tsv is not None else None
             ops_list = align_records_batched(
-                chunk, engine, params.disable_chain_patching
+                chunk, engine, params.disable_chain_patching,
+                trace=trace,
             )
+            if tsv is not None:
+                for ji, kind, q_er, t_er, applied in trace:
+                    j = chunk[ji]
+                    qs = j.query_offset
+                    qe_ = j.query_offset + j.query_length
+                    ts = j.target_offset
+                    te_ = j.target_offset + j.target_length
+                    tsv.write(
+                        f"{j.query_name}\t{qs}\t{qe_}\t{j.target_name}\t"
+                        f"{ts}\t{te_}\t{kind}\t{q_er}\t{t_er}\t"
+                        f"{int(applied)}\n")
         except Exception as e:
             log(f"[wfmash::align] Batch error, falling back per-record: {e}")
             ops_list = []
@@ -521,6 +543,8 @@ def run_alignment(params: AlignParams, out) -> None:
                     n_aligned += 1
 
     meter.finish()
+    if tsv is not None:
+        tsv.close()
     log(f"[wfmash::align] total aligned records = {n_aligned}")
     import os as _os
 

@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("OUTPUT")
     g.add_argument("-a", "--sam", action="store_true")
     g.add_argument("-d", "--md-tag", action="store_true")
+    g = p.add_argument_group("DEBUGGING")
+    g.add_argument("--path-patching-tsv", metavar="FILE",
+                   help="write per-alignment boundary-patch information "
+                        "in TSV format to FILE")
     g = p.add_argument_group("SYSTEM")
     g.add_argument("-t", "--threads", type=int, default=1)
     g.add_argument("--streaming-minhash", action="store_true")
@@ -176,6 +180,7 @@ def parse_args(argv=None):
 
     ap.strict_parity = (args.strict_parity
                         or _os.environ.get("WFMASH_TPU_STRICT_PARITY") == "1")
+    ap.path_patching_tsv = args.path_patching_tsv
     mp.split = not args.no_split
     ap.split = not args.no_split
     mp.merge_mappings = not args.no_merge

@@ -186,6 +186,11 @@ class AlignParams:
     # code that is dead upstream) so A/B PAF diffs vs a real wfmash run
     # are clean. Also honored from env WFMASH_TPU_STRICT_PARITY=1.
     strict_parity: bool = False
+    # --path-patching-tsv FILE: per-alignment boundary-patch trace
+    # (reference: parse_args.hpp:146 / wflign_patch.cpp:1610-1613, a
+    # WFA_PNG_TSV_TIMING debug build option there; adapted to this
+    # engine's erode+ends-free patch architecture)
+    path_patching_tsv: str | None = None
     multithread_fasta_input: bool = False
     use_progress_bar: bool = False
 
