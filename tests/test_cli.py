@@ -160,3 +160,49 @@ def test_path_patching_tsv(tmp_path):
         assert len(f) == 10
         assert f[6] in ("head", "tail")
         assert f[9] in ("0", "1")
+
+
+def test_wavefront_debug_dumps(tmp_path):
+    """-G/-u/-z write per-alignment segmentation-plan TSVs and PNGs
+    (reference debug flags parse_args.hpp:142-145, adapted to the
+    anchor-chain plan — see align/debugplot.py)."""
+    import io
+
+    import numpy as np
+
+    from wfmash_tpu.align.engine import run_alignment
+    from wfmash_tpu.params import AlignParams, MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(7)
+    base = random_dna(rng, 9000)
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": base})
+    write_fasta(qfa, {"q1": mutate(rng, base, 0.03)})
+    mp = MapParams(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                   percentage_identity=0.8, scaffold_gap=0,
+                   auto_pct_identity=False).finalize()
+    buf = io.StringIO()
+    run_mapping(mp, buf)
+    assert buf.getvalue().strip()
+    paf = tmp_path / "m.paf"
+    paf.write_text(buf.getvalue())
+    ap = AlignParams(
+        ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+        mashmap_paf_file=str(paf),
+        wavefront_tsv_prefix=str(tmp_path / "wf_"),
+        wavefront_png_prefix=str(tmp_path / "wf_"),
+        wfplot_max_size=500).finalize(mp.window_length)
+    out = io.StringIO()
+    run_alignment(ap, out)
+    tsvs = sorted(tmp_path.glob("wf_*.tsv"))
+    pngs = sorted(tmp_path.glob("wf_*.png"))
+    assert tsvs and pngs and len(tsvs) == len(pngs)
+    body = tsvs[0].read_text().splitlines()
+    assert body[0].startswith("# query_name=")
+    assert "v\th\tinfo" in body
+    data = [l for l in body if l and not l.startswith(("#", "v"))]
+    assert all(l.split("\t")[2] in "012" for l in data)
+    raw = pngs[0].read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"

@@ -439,6 +439,7 @@ def run_alignment(params: AlignParams, out) -> None:
     import os as _os2
 
     n_aligned = 0
+    n_dumped = 0
     batch_bp = int(_os2.environ.get("WFMASH_TPU_ALIGN_BATCH_BP",
                                     str(256 * 1024 * 1024)))
     # --path-patching-tsv (reference: parse_args.hpp:146, a
@@ -450,6 +451,24 @@ def run_alignment(params: AlignParams, out) -> None:
         tsv.write("query.name\tquery.start\tquery.end\ttarget.name\t"
                   "target.start\ttarget.end\tkind\tquery.eroded.bp\t"
                   "target.eroded.bp\tpatch.applied\n")
+    # -G/-u: per-alignment segmentation-plan dumps (debugplot.py)
+    wf_tsv = getattr(params, "wavefront_tsv_prefix", None)
+    wf_png = getattr(params, "wavefront_png_prefix", None)
+
+    def dump_plans(chunk, base_idx):
+        from .debugplot import plan_rows, write_plan_png, write_plan_tsv
+
+        for di, job in enumerate(chunk):
+            rows = plan_rows(job.query, job.target)
+            stem = (f"{base_idx + di:06d}.{job.query_name}_"
+                    f"{job.query_offset}_{job.target_name}_"
+                    f"{job.target_offset}")
+            if wf_tsv:
+                write_plan_tsv(f"{wf_tsv}{stem}.tsv", job, rows)
+            if wf_png:
+                write_plan_png(f"{wf_png}{stem}.png", rows,
+                               job.query_length, job.target_length,
+                               getattr(params, "wfplot_max_size", 1500))
     meter = ProgressMeter(max(len(rows), 1), "[wfmash::align] aligning")
     start = 0
     while start < len(rows):
@@ -465,6 +484,9 @@ def run_alignment(params: AlignParams, out) -> None:
             except Exception as e:
                 log(f"[wfmash::align] Error extracting record: {e}")
                 meter.increment(1)
+        if wf_tsv or wf_png:
+            dump_plans(chunk, n_dumped)
+            n_dumped += len(chunk)
         if hasattr(engine, "inversions"):
             engine.inversions = []
         try:

@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--path-patching-tsv", metavar="FILE",
                    help="write per-alignment boundary-patch information "
                         "in TSV format to FILE")
+    g.add_argument("-G", "--tsv", metavar="PREFIX", dest="wavefront_tsv",
+                   help="write each alignment's segmentation-plan cells "
+                        "(v, h, info) to PREFIX*.tsv")
+    g.add_argument("-u", "--prefix-png", metavar="PREFIX",
+                   dest="wavefront_png",
+                   help="write each alignment's segmentation-plan plot "
+                        "to PREFIX*.png")
+    g.add_argument("-z", "--wfplot-max-size", type=int, default=1500,
+                   metavar="N", help="max size of the wfplot [1500]")
     g = p.add_argument_group("SYSTEM")
     g.add_argument("-t", "--threads", type=int, default=1)
     g.add_argument("--streaming-minhash", action="store_true")
@@ -181,6 +190,9 @@ def parse_args(argv=None):
     ap.strict_parity = (args.strict_parity
                         or _os.environ.get("WFMASH_TPU_STRICT_PARITY") == "1")
     ap.path_patching_tsv = args.path_patching_tsv
+    ap.wavefront_tsv_prefix = args.wavefront_tsv
+    ap.wavefront_png_prefix = args.wavefront_png
+    ap.wfplot_max_size = args.wfplot_max_size
     mp.split = not args.no_split
     ap.split = not args.no_split
     mp.merge_mappings = not args.no_merge

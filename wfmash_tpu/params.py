@@ -191,6 +191,12 @@ class AlignParams:
     # WFA_PNG_TSV_TIMING debug build option there; adapted to this
     # engine's erode+ends-free patch architecture)
     path_patching_tsv: str | None = None
+    # -G/--tsv PREFIX, -u/--prefix-png PREFIX, -z/--wfplot-max-size:
+    # per-alignment segmentation-plan dumps (reference debug flags
+    # parse_args.hpp:142-145; see align/debugplot.py)
+    wavefront_tsv_prefix: str | None = None
+    wavefront_png_prefix: str | None = None
+    wfplot_max_size: int = 1500
     multithread_fasta_input: bool = False
     use_progress_bar: bool = False
 
