@@ -379,6 +379,12 @@ class DeviceL1:
         perf.add("map.device_calls", 1)
         out = []
         for i, f in enumerate(frags):
+            # tail fragments (q_len > window) need the windowed
+            # hash-dedup branch of the L1 sweep (l1l2.py:144-161,
+            # mappingCore.hpp windowLen != 0), which this batched sweep
+            # does not implement — those (at most one per query) route
+            # to the bit-identical host path, as do overflowed batches
+            # and non-full-scan modes.
             if overflow[i] or f["q_len"] != p.window_length \
                     or not p.stage2_full_scan:
                 out.append(None)
