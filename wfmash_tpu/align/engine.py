@@ -330,6 +330,43 @@ class BudgetedHostEngine(HostWfaEngine):
                             out[i] = ops
                             done.add(i)
                 todo = [i for i in todo if i not in done]
+        # batch the ends-free patch jobs too (one native call); head
+        # patches (free-begin only) apply the reversal transform first
+        # — see align() for the rationale
+        ef_idx, ef_pieces, ef_spans, ef_rev = [], [], [], []
+        for i in todo:
+            q, t, ef = jobs[i]
+            if ef is None:
+                continue
+            head = ((ef.target_begin or ef.query_begin)
+                    and not (ef.target_end or ef.query_end))
+            if head and self.fast_head_patch:
+                ef_pieces.append((q[::-1], t[::-1]))
+                ef_spans.append((0, ef.target_begin, 0, ef.query_begin))
+                ef_rev.append(True)
+            else:
+                ef_pieces.append((q, t))
+                ef_spans.append((ef.target_begin, ef.target_end,
+                                 ef.query_begin, ef.query_end))
+                ef_rev.append(False)
+            ef_idx.append(i)
+        if len(ef_idx) >= 2:
+            caps = ([self.patch_cap] * len(ef_idx)
+                    if self.patch_cap > 0 else None)
+            solved = None
+            try:
+                solved = wfa_align_batch_native(
+                    ef_pieces, self.penalties, max_scores=caps,
+                    ends_free=ef_spans)
+            except WfaMemoryBudget:   # pragma: no cover - giant patch
+                solved = None
+            if solved is not None:
+                done = set()
+                for i, rev, (_, ops) in zip(ef_idx, ef_rev, solved):
+                    out[i] = (None if ops is None
+                              else (ops[::-1] if rev else ops))
+                    done.add(i)
+                todo = [i for i in todo if i not in done]
         for i in todo:
             q, t, ef = jobs[i]
             out[i] = self.align(q, t, ef)

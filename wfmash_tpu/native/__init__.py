@@ -608,6 +608,15 @@ def get_wfa_lib():
             vp,
             vp, ctypes.c_int64, vp, vp, ctypes.c_int64,
         ]
+        lib.wfa_align_batch_ef.restype = ctypes.c_int64
+        lib.wfa_align_batch_ef.argtypes = [
+            vp, vp, vp, vp, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            vp, vp, vp, vp,
+            vp,
+            vp, ctypes.c_int64, vp, vp, ctypes.c_int64,
+        ]
         _lib4 = lib
     except OSError:
         _lib4 = None
@@ -621,13 +630,14 @@ class WfaMemoryBudget(MemoryError):
     has the same O(score^2) footprint."""
 
 
-def wfa_align_batch_native(pieces, p, max_scores=None):
-    """Many small END-TO-END alignments in one native call.
-    pieces: list of (query_bytes, target_bytes). Returns a list of
-    (score, ops) per piece — (None, None) for a piece whose per-piece
-    max_scores[i] was exceeded — or None as a whole (lib absent / a
-    piece failed; caller dispatches per piece). Raises WfaMemoryBudget
-    if any piece exceeds the memory cap."""
+def wfa_align_batch_native(pieces, p, max_scores=None, ends_free=None):
+    """Many small alignments in one native call.
+    pieces: list of (query_bytes, target_bytes); ends_free: optional
+    parallel list of (tb, te, qb, qe) free spans (None = end-to-end).
+    Returns a list of (score, ops) per piece — (None, None) for a piece
+    whose per-piece max_scores[i] was exceeded — or None as a whole
+    (lib absent / a piece failed; caller dispatches per piece). Raises
+    WfaMemoryBudget if any piece exceeds the memory cap."""
     lib = get_wfa_lib()
     if lib is None or not pieces:
         return None
@@ -649,12 +659,29 @@ def wfa_align_batch_native(pieces, p, max_scores=None):
     if max_scores is not None:
         ms_arr = np.asarray(
             [-1 if m is None else int(m) for m in max_scores], np.int64)
-    r = lib.wfa_align_batch(
-        qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
-        p.mismatch, p.gap_opening1, p.gap_extension1,
-        p.gap_opening2, p.gap_extension2,
-        _ptr(ms_arr) if ms_arr is not None else None,
-        _ptr(out), cap, _ptr(counts), _ptr(scores), mem_cap)
+    if ends_free is not None:
+        ef = np.asarray(
+            [(0, 0, 0, 0) if e is None else tuple(int(v) for v in e)
+             for e in ends_free], np.int64)
+        # hold references: _ptr does not keep temporaries alive
+        tb_a = np.ascontiguousarray(ef[:, 0])
+        te_a = np.ascontiguousarray(ef[:, 1])
+        qb_a = np.ascontiguousarray(ef[:, 2])
+        qe_a = np.ascontiguousarray(ef[:, 3])
+        r = lib.wfa_align_batch_ef(
+            qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
+            p.mismatch, p.gap_opening1, p.gap_extension1,
+            p.gap_opening2, p.gap_extension2,
+            _ptr(tb_a), _ptr(te_a), _ptr(qb_a), _ptr(qe_a),
+            _ptr(ms_arr) if ms_arr is not None else None,
+            _ptr(out), cap, _ptr(counts), _ptr(scores), mem_cap)
+    else:
+        r = lib.wfa_align_batch(
+            qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
+            p.mismatch, p.gap_opening1, p.gap_extension1,
+            p.gap_opening2, p.gap_extension2,
+            _ptr(ms_arr) if ms_arr is not None else None,
+            _ptr(out), cap, _ptr(counts), _ptr(scores), mem_cap)
     if r == -4:
         raise WfaMemoryBudget("piece exceeded the history budget")
     if r < 0:

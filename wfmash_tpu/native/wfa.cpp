@@ -610,4 +610,39 @@ int64_t wfa_align_batch(const uint8_t* qbuf, const int64_t* qoff,
     return n_out;
 }
 
+// Ends-free variant: per-piece (tb, te, qb, qe) free spans (the patch
+// phase's two engine.align_batch calls collapse to one ctypes call
+// each). Same output protocol as wfa_align_batch.
+int64_t wfa_align_batch_ef(const uint8_t* qbuf, const int64_t* qoff,
+                           const uint8_t* tbuf, const int64_t* toff,
+                           int64_t n_pieces, int32_t x, int32_t o1,
+                           int32_t e1, int32_t o2, int32_t e2,
+                           const int64_t* tb, const int64_t* te,
+                           const int64_t* qb, const int64_t* qe,
+                           const int64_t* max_scores,  // nullable
+                           int64_t* out, int64_t cap,
+                           int64_t* out_counts, int64_t* out_scores,
+                           int64_t mem_cap) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_pieces; i++) {
+        int64_t score = 0;
+        int64_t ms = max_scores ? max_scores[i] : -1;
+        int64_t got = wfa_align_native(
+            qbuf + qoff[i], qoff[i + 1] - qoff[i], tbuf + toff[i],
+            toff[i + 1] - toff[i], x, o1, e1, o2, e2,
+            tb[i], te[i], qb[i], qe[i], ms,
+            out + n_out, cap - n_out, &score, mem_cap);
+        if (got == -1) {
+            out_counts[i] = -1;
+            out_scores[i] = -1;
+            continue;
+        }
+        if (got < 0) return got;
+        out_counts[i] = got;
+        out_scores[i] = score;
+        n_out += got;
+    }
+    return n_out;
+}
+
 }  // extern "C"
