@@ -291,11 +291,13 @@ class BudgetedHostEngine(HostWfaEngine):
             return None               # giant-skew piece: whole-block path
 
     def align_batch(self, jobs):
-        """Batch fast path: ALL capped probes of the batch run in one
-        native call (wfa_align_batch); everything else — probe
-        failures' segmented reroutes, small blocks, patches — goes
-        through align() per job as before. Output is identical to the
-        per-job path (the probe is the same capped exact solve)."""
+        """Batch fast path: ALL end-to-end main blocks run in ONE
+        native call (segsolve.cpp:host_align_blocks — capped probe +
+        segmented reroute + small-block exact per block), and all
+        ends-free patch jobs in one more; only the rare leftovers
+        (unplannable blocks, memory-budget reroutes, solver fallbacks)
+        go through align() per job. Output is byte-identical to the
+        per-job path (tested)."""
         from ..native import WfaMemoryBudget, wfa_align_batch_native
 
         if int(getattr(self, "threads", 1)) > 1:
@@ -304,31 +306,23 @@ class BudgetedHostEngine(HostWfaEngine):
             return super().align_batch(jobs)
         out: list = [None] * len(jobs)
         todo = list(range(len(jobs)))
-        probe_idx = [
-            i for i, (q, t, ef) in enumerate(jobs)
-            if ef is None and self.score_cap > 0
-            and min(len(q), len(t)) >= 2000
-        ]
-        if len(probe_idx) >= 2:
-            solved = None
-            try:
-                solved = wfa_align_batch_native(
-                    [(jobs[i][0], jobs[i][1]) for i in probe_idx],
-                    self.penalties,
-                    max_scores=[self.score_cap] * len(probe_idx))
-            except WfaMemoryBudget:   # pragma: no cover - tiny cap
-                solved = None
-            if solved is not None:
+        main_idx = [i for i, (q, t, ef) in enumerate(jobs) if ef is None]
+        if len(main_idx) >= 2:
+            import os as _os
+
+            from ..native import host_align_blocks_native
+
+            got = host_align_blocks_native(
+                [(jobs[i][0], jobs[i][1]) for i in main_idx],
+                self.penalties, self.score_cap, 2000, 256,
+                int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500")))
+            if got is not NotImplemented:
                 done = set()
-                for i, (_, ops) in zip(probe_idx, solved):
-                    if ops is not None:
-                        out[i] = ops
+                for i, (st, runs) in zip(main_idx, got):
+                    if st in (0, 1):      # exact / segmented, complete
+                        out[i] = runs
                         done.add(i)
-                    else:
-                        ops = self._probe_failed(jobs[i][0], jobs[i][1])
-                        if ops is not None:
-                            out[i] = ops
-                            done.add(i)
+                    # st 2/3/4: per-job path (exact + reroutes) below
                 todo = [i for i in todo if i not in done]
         # batch the ends-free patch jobs too (one native call); head
         # patches (free-begin only) apply the reversal transform first

@@ -740,6 +740,15 @@ def get_segsolve_lib():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        vp = ctypes.c_void_p
+        lib.host_align_blocks.restype = ctypes.c_int64
+        lib.host_align_blocks.argtypes = [
+            vp, vp, vp, vp, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            vp, ctypes.c_int64, vp, vp, ctypes.c_int64]
         _lib5 = lib
     except OSError:
         _lib5 = None
@@ -782,6 +791,63 @@ def segmented_solve_native(q: bytes, t: bytes, p, seg_target: int,
         return list(zip(
             (vals >> 8).tolist(),
             (vals & 0xFF).astype(np.uint8).tobytes().decode("latin-1")))
+
+
+def host_align_blocks_native(blocks, p, score_cap: int, min_probe: int,
+                             seg_target: int, refine_cap: int):
+    """The host engine's whole main-block batch in ONE native call:
+    per-block capped probe + segmented reroute + small-block exact
+    (segsolve.cpp:host_align_blocks; BudgetedHostEngine.align is the
+    per-block spec — byte-identical, tested). blocks: list of
+    (query_bytes, target_bytes). Returns a list of (status, runs) with
+    status 0 exact / 1 segmented / 2 unplannable / 3 fallback /
+    4 memory-budget (runs is None for 2-4), or NotImplemented when the
+    lib is unavailable."""
+    lib = get_segsolve_lib()
+    if lib is None or not blocks:
+        return NotImplemented
+    n = len(blocks)
+    qoff = np.zeros(n + 1, np.int64)
+    toff = np.zeros(n + 1, np.int64)
+    for i, (q, t) in enumerate(blocks):
+        qoff[i + 1] = qoff[i] + len(q)
+        toff[i + 1] = toff[i] + len(t)
+    qbuf = b"".join(bytes(q) for q, _ in blocks)
+    tbuf = b"".join(bytes(t) for _, t in blocks)
+    mem_cap = int(float(os.environ.get(
+        "WFMASH_TPU_WFA_MEM_MB", "6144")) * 1e6)
+    cap = int(qoff[-1] + toff[-1]) + 64 * n
+    while True:
+        out = np.empty(cap, np.int64)
+        counts = np.empty(n, np.int64)
+        status = np.empty(n, np.int64)
+        r = lib.host_align_blocks(
+            qbuf, _ptr(qoff), tbuf, _ptr(toff), n,
+            p.mismatch, p.gap_opening1, p.gap_extension1,
+            p.gap_opening2, p.gap_extension2,
+            score_cap, min_probe, seg_target, refine_cap,
+            _ptr(out), cap, _ptr(counts), _ptr(status), mem_cap)
+        if r == -2:
+            cap *= 4
+            continue
+        if r < 0:
+            return NotImplemented
+        break
+    total = int(counts[counts > 0].sum()) if n else 0
+    vals = out[:total]
+    cnts = (vals >> 8).tolist()
+    opch = (vals & 0xFF).astype(np.uint8).tobytes().decode("latin-1")
+    res = []
+    o = 0
+    for i in range(n):
+        st = int(status[i])
+        k = int(counts[i])
+        if st in (0, 1):
+            res.append((st, list(zip(cnts[o:o + k], opch[o:o + k]))))
+            o += k
+        else:
+            res.append((st, None))
+    return res
 
 
 def wfa_align_ops_native(query: bytes, target: bytes, p, ends_free=None,

@@ -245,4 +245,71 @@ int64_t segmented_solve(const uint8_t* q, int64_t m, const uint8_t* t,
     return (int64_t)em.runs.size();
 }
 
+// The latency-aware host engine's WHOLE main-block batch in one call:
+// per block, the capped exact probe (score_cap, blocks with
+// min(m,n) >= min_probe), the segmented reroute on cap hit, and the
+// plain exact solve for small blocks — BudgetedHostEngine.align /
+// align_batch semantics end to end. Runs append to out with
+// out_counts[i] per block; out_status[i] reports the path taken:
+//   0 exact (probe pass / small block)   1 segmented
+//   2 unplannable (caller runs its exact+reroute path)
+//   3 solver fallback (caller re-runs the block in Python)
+//   4 memory budget exceeded (caller reroutes, WfaMemoryBudget)
+// Returns total runs, or -2 when out is too small (caller grows).
+int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
+                          const uint8_t* tbuf, const int64_t* toff,
+                          int64_t n_blocks, int32_t x, int32_t o1,
+                          int32_t e1, int32_t o2, int32_t e2,
+                          int64_t score_cap, int64_t min_probe,
+                          int64_t seg_target, int64_t refine_cap,
+                          int64_t* out, int64_t cap,
+                          int64_t* out_counts, int64_t* out_status,
+                          int64_t mem_cap) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_blocks; i++) {
+        const uint8_t* q = qbuf + qoff[i];
+        const uint8_t* t = tbuf + toff[i];
+        const int64_t m = qoff[i + 1] - qoff[i];
+        const int64_t n = toff[i + 1] - toff[i];
+        out_counts[i] = 0;
+        const bool probe =
+            score_cap > 0 && std::min(m, n) >= min_probe;
+        int64_t score = 0;
+        int64_t got = wfa_align_native(
+            q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0, 0,
+            probe ? score_cap : -1, out + n_out, cap - n_out, &score,
+            mem_cap);
+        if (got >= 0) {
+            out_counts[i] = got;
+            out_status[i] = 0;
+            n_out += got;
+            continue;
+        }
+        if (got == -2) return -2;
+        if (got == -4) { out_status[i] = 4; continue; }
+        if (got == -3) { out_status[i] = 3; continue; }
+        // got == -1: probe cap exceeded -> segmented reroute
+        segsolve::RunEmit em;
+        int64_t r = segsolve::solve_block(q, m, t, n, x, o1, e1, o2,
+                                          e2, seg_target, refine_cap,
+                                          0, mem_cap, em);
+        if (r == 1) {
+            if (n_out + (int64_t)em.runs.size() > cap) return -2;
+            std::copy(em.runs.begin(), em.runs.end(), out + n_out);
+            out_counts[i] = (int64_t)em.runs.size();
+            out_status[i] = 1;
+            n_out += out_counts[i];
+        } else if (r == 0) {
+            out_status[i] = 2;
+        } else if (r == -4) {
+            out_status[i] = 4;
+        } else if (r == -2) {
+            return -2;
+        } else {
+            out_status[i] = 3;
+        }
+    }
+    return n_out;
+}
+
 }  // extern "C"
