@@ -322,7 +322,7 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
         # body remains the executable spec (bit-identical, tested)
         nat = segmented_solve_native(
             q, t, p, seg_target,
-            int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500")))
+            int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "800")))
         if nat is not NotImplemented:
             return nat
     bounds = _plan_bounds(q, t, seg_target, 512, 256)
@@ -382,7 +382,7 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
     # k ladder instead of paying O(score^2) whole. Capped pieces that
     # re-anchor solve as sub-pieces; unanchorable ones get the trivial
     # diagonal alignment (ledgered with the segmented junk treatment).
-    REFINE_CAP = int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "500"))
+    REFINE_CAP = int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "800"))
     junk = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
             for sq, st in pieces]
     caps = ([min(j, REFINE_CAP) for j in junk] if depth == 0 else junk)
