@@ -600,3 +600,61 @@ def test_find_anchors_density_sampling_big_blocks():
         assert np.array_equal(nat[1], py[1]), trial
         # sampled positions only
         assert (nat[0] % 4 == 0).all(), trial
+
+
+def test_budgeted_engine_batch_matches_per_job():
+    """BudgetedHostEngine.align_batch (one native host_align_blocks
+    call for the mains + one batched ends-free call for the patches,
+    reversed-head transform included) returns exactly what the per-job
+    align() spec path returns, across main blocks of every routing
+    class and head/tail/partial ends-free jobs."""
+    import numpy as np
+
+    import wfmash_tpu.align.engine as E
+    from wfmash_tpu.align.biwfa import EndsFree, Penalties
+    from wfmash_tpu.params import AlignParams
+
+    ap = AlignParams(ref_sequences=["x"], query_sequences=["y"]
+                     ).finalize(1000)
+    eng = E.BudgetedHostEngine(Penalties(5, 8, 2, 24, 1), ap)
+    rng = np.random.default_rng(23)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+
+    def seqs(n, d):
+        t = bytes(lut[rng.integers(0, 4, n)])
+        q = bytearray(t)
+        for _ in range(int(n * d)):
+            q[int(rng.integers(0, n))] = int(lut[rng.integers(0, 4)])
+        return bytes(q), t
+
+    jobs = []
+    for i in range(24):
+        n = int(rng.integers(100, 4000))
+        q, t = seqs(n, rng.random() * 0.25)
+        kind = i % 6
+        if kind == 0:       # probe-pass candidate (near-identical, big)
+            q, t = seqs(3000, 0.002)
+            jobs.append((q, t, None))
+        elif kind == 1:     # probe-fail -> segmented (divergent, big)
+            q, t = seqs(3000, 0.15)
+            jobs.append((q, t, None))
+        elif kind == 2:     # small block, plain exact
+            jobs.append((q[:800], t[:800], None))
+        elif kind == 3:     # head patch (reversal transform)
+            jobs.append((q, t, EndsFree(target_begin=len(t),
+                                        query_begin=len(q))))
+        elif kind == 4:     # tail patch
+            jobs.append((q, t, EndsFree(target_end=len(t),
+                                        query_end=len(q))))
+        else:               # partial head frees
+            jobs.append((q, t, EndsFree(
+                target_begin=int(rng.integers(0, 8)),
+                query_begin=len(q))))
+    # unanchorable junk block >= 2000 (probe fail + unplannable)
+    jobs.append((bytes(lut[rng.integers(0, 4, 2500)]),
+                 bytes(lut[rng.integers(0, 4, 2500)]), None))
+
+    batch = eng.align_batch(jobs)
+    solo = [eng.align(*j) for j in jobs]
+    for i, (a, b) in enumerate(zip(batch, solo)):
+        assert a == b, (i, jobs[i][2])

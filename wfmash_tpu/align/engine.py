@@ -290,6 +290,28 @@ class BudgetedHostEngine(HostWfaEngine):
         except WfaMemoryBudget:
             return None               # giant-skew piece: whole-block path
 
+    def _exact_or_reroute(self, query: bytes, target: bytes,
+                          ends_free=None):
+        """Whole-block exact solve with the memory-budget reroute —
+        the tail of align(), callable directly when the probe and
+        segmented stages are already known to have run (native batch
+        statuses 2/4)."""
+        from ..native import WfaMemoryBudget
+
+        try:
+            return super().align(query, target, ends_free)
+        except WfaMemoryBudget:
+            log(f"[wfmash::align] exact history over budget for a "
+                f"{len(query)}x{len(target)} block; segmented reroute")
+            if self._full is None:
+                from .wfa_jax import JaxWfaEngine
+
+                eng = JaxWfaEngine(self.penalties)
+                eng.threads = max(
+                    1, int(getattr(self._params, "threads", 1)))
+                self._full = _build_segmented(self.penalties, eng)
+            return self._full.align(query, target, ends_free)
+
     def align_batch(self, jobs):
         """Batch fast path: ALL end-to-end main blocks run in ONE
         native call (segsolve.cpp:host_align_blocks — capped probe +
@@ -322,7 +344,14 @@ class BudgetedHostEngine(HostWfaEngine):
                     if st in (0, 1):      # exact / segmented, complete
                         out[i] = runs
                         done.add(i)
-                    # st 2/3/4: per-job path (exact + reroutes) below
+                    elif st in (2, 4):
+                        # probe + segmented already ran natively
+                        # (unplannable / memory budget): go straight to
+                        # the exact solve + reroute tail
+                        out[i] = self._exact_or_reroute(
+                            jobs[i][0], jobs[i][1])
+                        done.add(i)
+                    # st 3 (solver fallback): full per-job path below
                 todo = [i for i in todo if i not in done]
         # batch the ends-free patch jobs too (one native call); head
         # patches (free-begin only) apply the reversal transform first
@@ -405,19 +434,7 @@ class BudgetedHostEngine(HostWfaEngine):
             ops = self._probe_failed(query, target)
             if ops is not None:
                 return ops
-        try:
-            return super().align(query, target, ends_free)
-        except WfaMemoryBudget:
-            log(f"[wfmash::align] exact history over budget for a "
-                f"{len(query)}x{len(target)} block; segmented reroute")
-            if self._full is None:
-                from .wfa_jax import JaxWfaEngine
-
-                eng = JaxWfaEngine(self.penalties)
-                eng.threads = max(
-                    1, int(getattr(self._params, "threads", 1)))
-                self._full = _build_segmented(self.penalties, eng)
-            return self._full.align(query, target, ends_free)
+        return self._exact_or_reroute(query, target, ends_free)
 
 
 def run_alignment(params: AlignParams, out) -> None:
@@ -487,12 +504,19 @@ def run_alignment(params: AlignParams, out) -> None:
     wf_png = getattr(params, "wavefront_png_prefix", None)
 
     def dump_plans(chunk, base_idx):
+        import re as _re
+
         from .debugplot import plan_rows, write_plan_png, write_plan_tsv
+
+        def safe(name):
+            # sequence names may contain path characters ('/': PacBio
+            # read naming; PanSN '#') — sanitize for the filename
+            return _re.sub(r"[^A-Za-z0-9._-]", "_", name)
 
         for di, job in enumerate(chunk):
             rows = plan_rows(job.query, job.target)
-            stem = (f"{base_idx + di:06d}.{job.query_name}_"
-                    f"{job.query_offset}_{job.target_name}_"
+            stem = (f"{base_idx + di:06d}.{safe(job.query_name)}_"
+                    f"{job.query_offset}_{safe(job.target_name)}_"
                     f"{job.target_offset}")
             if wf_tsv:
                 write_plan_tsv(f"{wf_tsv}{stem}.tsv", job, rows)
@@ -542,8 +566,15 @@ def run_alignment(params: AlignParams, out) -> None:
                         f"{j.query_name}\t{qs}\t{qe_}\t{j.target_name}\t"
                         f"{ts}\t{te_}\t{kind}\t{q_er}\t{t_er}\t"
                         f"{int(applied)}\n")
+                tsv.flush()   # crash loses at most one chunk of rows
         except Exception as e:
             log(f"[wfmash::align] Batch error, falling back per-record: {e}")
+            if tsv is not None:
+                # the per-record fallback path has no patch trace — mark
+                # the gap instead of silently under-reporting
+                tsv.write(f"# batch fallback: patch rows unavailable for "
+                          f"{len(chunk)} records\n")
+                tsv.flush()
             ops_list = []
             collected = []
             for idx, job in enumerate(chunk):

@@ -385,7 +385,10 @@ def segmented_host_align(q: bytes, t: bytes, p, seg_target: int = 256,
     REFINE_CAP = int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "800"))
     junk = [(p.mismatch * min(len(sq), len(st))) * 55 // 100 + 64
             for sq, st in pieces]
-    caps = ([min(j, REFINE_CAP) for j in junk] if depth == 0 else junk)
+    # REFINE_CAP <= 0 disables the refine cap (junk cap only) — the
+    # same convention as the native twin (segsolve.cpp)
+    caps = ([min(j, REFINE_CAP) for j in junk]
+            if depth == 0 and REFINE_CAP > 0 else junk)
     solved = wfa_align_batch_native(pieces, p, max_scores=caps)
     if solved is None:                       # per-piece fallback
         solved = [_wfa(sq, st, p, None, max_score=c)

@@ -289,11 +289,11 @@ def diagonal_sharded_wfa_steps(off, anc_v, anc_h, open_a, query_w,
 
     from ..align.wfa_jax import NEG_I, _advance, make_blocks
 
-    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     axis = mesh.axis_names[-1]
+    n = int(mesh.shape[axis])   # sharded over the LAST axis only
     B, R, _, K = off.shape
     if K % n:
-        raise ValueError(f"K={K} not divisible by mesh size {n}")
+        raise ValueError(f"K={K} not divisible by '{axis}' size {n}")
     NEG = NEG_I
     UNSET = -1
 
