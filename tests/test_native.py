@@ -658,3 +658,72 @@ def test_budgeted_engine_batch_matches_per_job():
     solo = [eng.align(*j) for j in jobs]
     for i, (a, b) in enumerate(zip(batch, solo)):
         assert a == b, (i, jobs[i][2])
+
+
+def test_native_libs_ubsan_clean():
+    """All five native libs compile and run clean under UBSAN
+    (-fno-sanitize-recover aborts on any UB): the sanitizer analogue of
+    the reference's CI sanitizer builds (SURVEY §5 aux subsystems).
+    Runs a representative workload through every lib in a subprocess
+    with fresh WFMASH_TPU_SANITIZE=1 builds."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = r"""
+import numpy as np
+from wfmash_tpu.native import (
+    canonical_hashes_native, chain_roots_native, find_anchors_native,
+    host_align_blocks_native, place_short_native, plan_block_native,
+    segmented_solve_native, wfa_align_batch_native,
+    wfa_align_ops_native, winnow_minmers_native,
+)
+from wfmash_tpu.align.biwfa import Penalties
+
+rng = np.random.default_rng(3)
+lut = np.frombuffer(b"ACGT", np.uint8)
+seq = bytes(lut[rng.integers(0, 4, 20000)])
+assert winnow_minmers_native(seq, 15, 100, 20) is not None
+assert canonical_hashes_native(seq[:500], 15) is not None
+t = seq[:6000]
+q = bytearray(t)
+for _ in range(400):
+    q[int(rng.integers(0, len(t)))] = int(lut[rng.integers(0, 4)])
+q = bytes(q)
+p = Penalties(5, 8, 2, 24, 1)
+assert find_anchors_native(q, t, 21, 1, 200000) is not None
+assert find_anchors_native(q, t, 11, 8, 200000) is not None
+assert place_short_native(t[:500], q, 13, 8) is not NotImplemented
+assert plan_block_native(q, t, 256, 512, 256) is not NotImplemented
+assert segmented_solve_native(q, t, p, 256, 800) is not NotImplemented
+assert wfa_align_ops_native(q[:900], t[:900], p) is not NotImplemented
+assert wfa_align_batch_native(
+    [(q[:300], t[:300]), (q[300:600], t[280:620])], p,
+    ends_free=[None, (0, 40, 0, 40)]) is not None
+assert host_align_blocks_native(
+    [(q, t), (q[:800], t[:800])], p, 300, 2000, 256, 800) \
+    is not NotImplemented
+assert chain_roots_native(
+    np.zeros(4, np.int64), np.ones(4, np.int8),
+    np.array([0, 100, 250, 900], np.int64),
+    np.array([90, 200, 380, 990], np.int64),
+    np.array([0, 110, 240, 900], np.int64),
+    np.array([95, 205, 370, 995], np.int64),
+    np.arange(4, dtype=np.int64), 500, 200) is not None
+print("UBSAN-OK")
+"""
+    # sanitized builds use separate *.san.so cache names (native
+    # __init__ keys the lib path on WFMASH_TPU_SANITIZE), so the
+    # regular cached libs are untouched
+    env = dict(
+        os.environ, WFMASH_TPU_SANITIZE="1",
+        UBSAN_OPTIONS="print_stacktrace=1",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog], env=env, cwd=str(Path.cwd()),
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    assert "UBSAN-OK" in r.stdout
+    assert "runtime error" not in r.stderr, r.stderr[-2000:]

@@ -20,8 +20,11 @@ import numpy as np
 from ..sketch.winnow import RECORD_DTYPE
 
 _DIR = Path(__file__).parent
+# sanitized builds live under separate names so the regular cache
+# survives (see _gpp_flags)
+_SAN = ".san" if os.environ.get("WFMASH_TPU_SANITIZE") == "1" else ""
 _SRC = _DIR / "winnow.cpp"
-_LIB = _DIR / "_winnow.so"
+_LIB = _DIR / f"_winnow{_SAN}.so"
 
 _lib = None
 _tried = False
@@ -39,12 +42,22 @@ _C_RECORD_DTYPE = np.dtype(
 )
 
 
+def _gpp_flags() -> list[str]:
+    """Shared g++ flags for every native lib. WFMASH_TPU_SANITIZE=1
+    adds UBSAN (the race/sanitizer analogue of the reference's
+    -fsanitize CI builds, SURVEY §5; UBSAN works inside dlopen'd
+    shared libs without an LD_PRELOAD, unlike ASAN) — used by
+    tests/test_native.py::test_native_libs_ubsan_clean."""
+    flags = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+    if os.environ.get("WFMASH_TPU_SANITIZE") == "1":
+        flags += ["-fsanitize=undefined", "-fno-sanitize-recover=all",
+                  "-g"]
+    return flags
+
+
 def _compile() -> bool:
     try:
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            str(_SRC), "-o", str(_LIB),
-        ]
+        cmd = ["g++", *_gpp_flags(), str(_SRC), "-o", str(_LIB)]
         subprocess.run(cmd, check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -136,7 +149,7 @@ def winnow_minmers_native(seq: bytes, k: int, window_size: int,
 # ---------------------------------------------------------------------------
 
 _SRC2 = _DIR / "l1l2.cpp"
-_LIB2 = _DIR / "_l1l2.so"
+_LIB2 = _DIR / f"_l1l2{_SAN}.so"
 _lib2 = None
 _tried2 = False
 
@@ -151,8 +164,7 @@ def get_l1l2_lib():
     if not _LIB2.exists() or _LIB2.stat().st_mtime < _SRC2.stat().st_mtime:
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", str(_SRC2), "-o", str(_LIB2)],
+                ["g++", *_gpp_flags(), str(_SRC2), "-o", str(_LIB2)],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"[wfmash-tpu] native l1l2 build failed ({e}); "
@@ -437,7 +449,7 @@ def l2_walk_multi_native(soa, cand_seq, range_start, range_end,
 # ---------------------------------------------------------------------------
 
 _SRC3 = _DIR / "anchors.cpp"
-_LIB3 = _DIR / "_anchors.so"
+_LIB3 = _DIR / f"_anchors{_SAN}.so"
 _lib3 = None
 _tried3 = False
 
@@ -450,8 +462,7 @@ def get_anchors_lib():
     if not _LIB3.exists() or _LIB3.stat().st_mtime < _SRC3.stat().st_mtime:
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", str(_SRC3), "-o", str(_LIB3)],
+                ["g++", *_gpp_flags(), str(_SRC3), "-o", str(_LIB3)],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"[wfmash-tpu] native anchors build failed ({e}); "
@@ -563,7 +574,7 @@ def lis_chain_native(tpos_sorted: np.ndarray):
 # ---------------------------------------------------------------------------
 
 _SRC4 = _DIR / "wfa.cpp"
-_LIB4 = _DIR / "_wfa.so"
+_LIB4 = _DIR / f"_wfa{_SAN}.so"
 _lib4 = None
 _tried4 = False
 
@@ -578,8 +589,7 @@ def get_wfa_lib():
     if not _LIB4.exists() or _LIB4.stat().st_mtime < _SRC4.stat().st_mtime:
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", str(_SRC4), "-o", str(_LIB4)],
+                ["g++", *_gpp_flags(), str(_SRC4), "-o", str(_LIB4)],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"[wfmash-tpu] native wfa build failed ({e}); "
@@ -706,7 +716,7 @@ def wfa_align_batch_native(pieces, p, max_scores=None, ends_free=None):
 
 
 _SRC5 = _DIR / "segsolve.cpp"
-_LIB5 = _DIR / "_segsolve.so"
+_LIB5 = _DIR / f"_segsolve{_SAN}.so"
 _lib5 = None
 _tried5 = False
 
@@ -723,8 +733,7 @@ def get_segsolve_lib():
     if not _LIB5.exists() or _LIB5.stat().st_mtime < deps:
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", str(_SRC5), "-o", str(_LIB5)],
+                ["g++", *_gpp_flags(), str(_SRC5), "-o", str(_LIB5)],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"[wfmash-tpu] native segsolve build failed ({e}); "

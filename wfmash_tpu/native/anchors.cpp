@@ -299,7 +299,7 @@ static void pick_cuts_impl(const std::vector<int64_t>& qpos,
                            std::vector<int64_t>& tc) {
     const int64_t mid = k / 2;
     const int64_t n = (int64_t)qpos.size();
-    int64_t last_q = -(int64_t)1 << 30, last_t = -(int64_t)1 << 30;
+    int64_t last_q = -((int64_t)1 << 30), last_t = -((int64_t)1 << 30);
     int64_t i = 0;
     while (i < n) {
         int64_t cq = qpos[i] + mid, ct = tpos[i] + mid;
