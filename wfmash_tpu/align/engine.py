@@ -246,7 +246,7 @@ class BudgetedHostEngine(HostWfaEngine):
     """Host exact engine with two escape hatches:
 
     * **score cap** — a main (end-to-end) block whose exact score
-      exceeds WFMASH_TPU_HOST_SCORE_CAP (default 600; 0 disables) is
+      exceeds WFMASH_TPU_HOST_SCORE_CAP (default 100; 0 disables) is
       re-solved via anchored segmentation with exact native WFA per
       piece (`segmented.segmented_host_align`). The probe costs one
       capped sweep (~1 ms); diverted blocks are the divergent tail
@@ -267,7 +267,7 @@ class BudgetedHostEngine(HostWfaEngine):
         self._params = params
         self._full = None
         self.score_cap = int(os.environ.get(
-            "WFMASH_TPU_HOST_SCORE_CAP", "300"))
+            "WFMASH_TPU_HOST_SCORE_CAP", "100"))
         # boundary-patch score cap: a patch whose ends-free score would
         # exceed it keeps the ORIGINAL (pre-erode) alignment instead —
         # replayable either way; the reference would compute the
