@@ -727,3 +727,42 @@ print("UBSAN-OK")
     assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
     assert "UBSAN-OK" in r.stdout
     assert "runtime error" not in r.stderr, r.stderr[-2000:]
+
+
+def test_sketch_fragments_native_vs_python():
+    """winnow.cpp:sketch_fragments (all of a query's bottom-s fragment
+    sketches in one call) is bit-identical to the per-fragment spec
+    sketch_fragment — hashes, positions, strand votes, complexity."""
+    import numpy as np
+
+    from wfmash_tpu.native import sketch_fragments_native
+    from wfmash_tpu.sketch.minhash import sketch_fragment
+
+    if sketch_fragments_native(b"ACGT" * 300, 15, 400, 30) is None:
+        pytest.skip("native winnow lib unavailable")
+
+    rng = np.random.default_rng(61)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(8):
+        L = int(rng.integers(500, 15000))
+        w = int(rng.choice([500, 1000]))
+        s = int(rng.choice([20, 85]))
+        if trial % 3 == 0:
+            seq = bytes(lut[rng.choice(
+                5, L, p=[.245, .245, .245, .245, .02])])
+        else:
+            seq = bytes(lut[rng.integers(0, 4, L)])
+        n_main = L // w
+        frags = [seq[i * w:(i + 1) * w] for i in range(n_main)]
+        if n_main >= 1 and L % w:
+            frags.append(seq[L - w:])
+        nat = sketch_fragments_native(seq, 15, w, s)
+        assert len(nat) == len(frags), trial
+        for f, (frag, sk_n) in enumerate(zip(frags, nat)):
+            sk_p = sketch_fragment(frag, 15, s)
+            assert np.array_equal(sk_n.hashes, sk_p.hashes), (trial, f)
+            assert np.array_equal(sk_n.wpos, sk_p.wpos), (trial, f)
+            assert np.array_equal(sk_n.wpos_end, sk_p.wpos_end)
+            assert np.array_equal(sk_n.strand, sk_p.strand), (trial, f)
+            assert sk_n.sketch_size == sk_p.sketch_size, (trial, f)
+            assert sk_n.kmer_complexity == sk_p.kmer_complexity, (trial, f)

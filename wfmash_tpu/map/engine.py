@@ -200,12 +200,16 @@ class Mapper:
 
     # -- per-fragment --------------------------------------------------------
     def map_fragment(self, frag_seq, frag_index: int, query_seq_id: int,
-                     query_group: int, index, l1=None) -> list[tuple]:
+                     query_group: int, index, l1=None,
+                     sketch=None) -> list[tuple]:
         """Returns raw mapping tuples for one fragment. `l1` supplies
-        precomputed (device-batched) L1 candidates; None = host L1."""
+        precomputed (device-batched) L1 candidates; None = host L1;
+        `sketch` supplies a precomputed (batch-native) sketch."""
         p = self.params
         q_len = len(frag_seq)
-        sketch = sketch_fragment(frag_seq, p.kmer_size, p.sketch_size)
+        if sketch is None:
+            sketch = sketch_fragment(frag_seq, p.kmer_size,
+                                     p.sketch_size)
         if sketch.sketch_size == 0 or sketch.kmer_complexity < p.kmer_complexity_threshold:
             return []
         minimum_hits = self._minimum_hits_for(q_len, sketch)
@@ -355,13 +359,13 @@ class Mapper:
 
         raw: list[tuple] = []
         frags = self._fragments(seq)
+        sks = self._sketch_all(seq, frags)
         if self.device_l1 is not None:
             # ALL fragments of the query (tail included — it is w bases
             # long by construction) in ONE batched device L1 call
             # (VERDICT round-2 #3: the batched kernel must see batches)
             sketches = []
-            for fi, frag in frags:
-                sk = sketch_fragment(frag, p.kmer_size, p.sketch_size)
+            for (fi, frag), sk in zip(frags, sks):
                 ok = (sk.sketch_size > 0
                       and sk.kmer_complexity >= p.kmer_complexity_threshold)
                 sketches.append((fi, frag, sk, ok))
@@ -381,10 +385,24 @@ class Mapper:
                         raw.extend(self._l2_collect(sk, len(frag), fi, l1,
                                                     index))
         else:
-            for fi, frag in frags:
-                raw.extend(self.map_fragment(frag, fi, seq_id, group, index))
+            for (fi, frag), sk in zip(frags, sks):
+                raw.extend(self.map_fragment(frag, fi, seq_id, group,
+                                             index, sketch=sk))
 
         return self.finish_query(query_name, qlen, seq_id, raw)
+
+    def _sketch_all(self, seq: bytes, frags):
+        """All fragment sketches in one native call (winnow.cpp:
+        sketch_fragments); per-fragment spec path as fallback."""
+        from ..native import sketch_fragments_native
+
+        p = self.params
+        nat = sketch_fragments_native(seq, p.kmer_size, p.window_length,
+                                      p.sketch_size)
+        if nat is not None and len(nat) == len(frags):
+            return nat
+        return [sketch_fragment(frag, p.kmer_size, p.sketch_size)
+                for _, frag in frags]
 
     def sketch_query(self, seq: bytes):
         """Phase-1 worker (fork-poolable, pure host): fragment + sketch.

@@ -89,6 +89,13 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.sketch_fragments.restype = ctypes.c_int64
+    lib.sketch_fragments.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -114,6 +121,49 @@ def canonical_hashes_native(seq: bytes, k: int):
                          vote.ctypes.data, vs.ctypes.data, vw.ctypes.data)
     pos = np.nonzero(vs)[0].astype(np.int64)
     return pos, canon[pos], vote[pos]
+
+
+def sketch_fragments_native(seq: bytes, k: int, w: int, s: int):
+    """All of one query's fragment sketches in ONE native call
+    (winnow.cpp:sketch_fragments; sketch/minhash.py::sketch_fragment is
+    the per-fragment spec — bit-identical, tested). Returns a list of
+    FragmentSketch (one per w-window + the w-length tail window), or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..sketch.minhash import FragmentSketch
+
+    n_main = len(seq) // w
+    n_frag = n_main + (1 if n_main >= 1 and len(seq) % w else 0)
+    if n_frag == 0:
+        return []
+    cap = n_frag * max(s, 1)
+    hashes = np.empty(cap, np.uint64)
+    wpos = np.empty(cap, np.int64)
+    wend = np.empty(cap, np.int64)
+    strand = np.empty(cap, np.int8)
+    counts = np.empty(n_frag, np.int64)
+    comp = np.empty(n_frag, np.float64)
+    got = lib.sketch_fragments(
+        bytes(seq), len(seq), k, w, s,
+        hashes.ctypes.data, wpos.ctypes.data, wend.ctypes.data,
+        strand.ctypes.data, counts.ctypes.data, comp.ctypes.data)
+    assert got == n_frag
+    out = []
+    o = 0
+    for f in range(n_frag):
+        c = int(counts[f])
+        out.append(FragmentSketch(
+            hashes=hashes[o:o + c].copy(),
+            wpos=wpos[o:o + c].copy(),
+            wpos_end=wend[o:o + c].copy(),
+            strand=strand[o:o + c].copy(),
+            kmer_complexity=float(comp[f]),
+            sketch_size=c,
+        ))
+        o += c
+    return out
 
 
 def winnow_minmers_native(seq: bytes, k: int, window_size: int,

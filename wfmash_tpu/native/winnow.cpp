@@ -323,4 +323,76 @@ int64_t winnow_scan(const uint8_t* seq, int64_t len, int k, int window_size,
 
 void free_records(Record* r) { std::free(r); }
 
+// Bottom-s fragment sketches for a WHOLE query in one call
+// (sketch/minhash.py::sketch_fragment is the Python spec —
+// bit-identical, tested; fragments are the mapper's w-length windows
+// plus the w-length tail window, computeMap.hpp:560-631).
+//
+// Outputs concatenate per fragment (out_counts[f] entries each):
+// hashes ascending, first/last occurrence positions, strand votes'
+// signs; out_complexity[f] is the k-mer complexity estimate. Caller
+// provides n_frag*s capacity (n_frag = len/w + tail). Returns the
+// fragment count.
+int64_t sketch_fragments(const uint8_t* seq, int64_t len, int k,
+                         int64_t w, int64_t s, uint64_t* out_hashes,
+                         int64_t* out_wpos, int64_t* out_wend,
+                         int8_t* out_strand, int64_t* out_counts,
+                         double* out_complexity) {
+    const int64_t n_main = len / w;
+    const bool tail = n_main >= 1 && (len % w) != 0;
+    const int64_t n_frag = n_main + (tail ? 1 : 0);
+    const int64_t nk = w - k + 1;
+    std::vector<uint64_t> canon(std::max<int64_t>(nk, 1));
+    std::vector<int8_t> vote(std::max<int64_t>(nk, 1));
+    std::vector<uint8_t> vs(std::max<int64_t>(nk, 1)),
+        vw(std::max<int64_t>(nk, 1));
+    struct HP { uint64_t h; int64_t pos; int8_t v; };
+    std::vector<HP> ent;
+    int64_t out_off = 0;
+    for (int64_t f = 0; f < n_frag; f++) {
+        const int64_t start = (f < n_main) ? f * w : len - w;
+        out_counts[f] = 0;
+        out_complexity[f] = 0.0;
+        if (nk <= 0) continue;
+        canonical_hashes(seq + start, w, k, canon.data(), vote.data(),
+                         vs.data(), vw.data());
+        ent.clear();
+        for (int64_t i = 0; i < nk; i++)
+            if (vs[i]) ent.push_back({canon[i], i, vote[i]});
+        if (ent.empty()) continue;
+        std::sort(ent.begin(), ent.end(), [](const HP& a, const HP& b) {
+            return a.h != b.h ? a.h < b.h : a.pos < b.pos;
+        });
+        int64_t kept = 0;
+        uint64_t last_hash = 0;
+        size_t i = 0;
+        while (i < ent.size() && kept < s) {
+            size_t j = i;
+            int64_t vsum = 0;
+            int64_t first = ent[i].pos, last_p = ent[i].pos;
+            while (j < ent.size() && ent[j].h == ent[i].h) {
+                vsum += ent[j].v;
+                if (ent[j].pos > last_p) last_p = ent[j].pos;
+                j++;
+            }
+            out_hashes[out_off + kept] = ent[i].h;
+            out_wpos[out_off + kept] = first;
+            out_wend[out_off + kept] = last_p;
+            out_strand[out_off + kept] =
+                vsum > 0 ? 1 : (vsum < 0 ? -1 : 0);
+            last_hash = ent[i].h;
+            kept++;
+            i = j;
+        }
+        out_counts[f] = kept;
+        const double U64F = 18446744073709551615.0;
+        double max01 = (double)last_hash / U64F;
+        out_complexity[f] =
+            max01 > 0 ? ((double)kept / max01) / ((double)nk * 2.0)
+                      : 0.0;
+        out_off += kept;
+    }
+    return n_frag;
+}
+
 }  // extern "C"
