@@ -385,11 +385,64 @@ class Mapper:
                         raw.extend(self._l2_collect(sk, len(frag), fi, l1,
                                                     index))
         else:
-            for (fi, frag), sk in zip(frags, sks):
-                raw.extend(self.map_fragment(frag, fi, seq_id, group,
-                                             index, sketch=sk))
+            raw.extend(self._map_fragments_host(frags, sks, seq_id,
+                                                group, index))
 
         return self.finish_query(query_name, qlen, seq_id, raw)
+
+    def _map_fragments_host(self, frags, sks, seq_id, group, index):
+        """Host path for all of one query's fragments: gates, then ONE
+        native L1 call for the whole query (l1_fragment_multi), then
+        the per-fragment L2. Per-fragment map_fragment is the fallback
+        (lib absent / key-packing overflow)."""
+        from ..native import l1_fragment_multi_native
+
+        p = self.params
+        elig = []
+        for (fi, frag), sk in zip(frags, sks):
+            if (sk.sketch_size == 0
+                    or sk.kmer_complexity < p.kmer_complexity_threshold):
+                continue
+            elig.append((fi, frag, sk))
+        if not elig:
+            return []
+        starts_l, ends_l, s_off = [], [], [0]
+        wl = np.empty(len(elig), np.int64)
+        mh = np.empty(len(elig), np.int64)
+        ss = np.empty(len(elig), np.int64)
+        for i, (fi, frag, sk) in enumerate(elig):
+            st, en = index.lookup(sk.hashes)
+            starts_l.append(np.ascontiguousarray(st, np.int64))
+            ends_l.append(np.ascontiguousarray(en, np.int64))
+            s_off.append(s_off[-1] + len(st))
+            wl[i] = max(0, len(frag) - p.window_length)
+            mh[i] = self._minimum_hits_for(len(frag), sk)
+            ss[i] = sk.sketch_size
+        multi = l1_fragment_multi_native(
+            index.endpoints_soa(),
+            np.concatenate(starts_l) if starts_l else np.empty(0, np.int64),
+            np.concatenate(ends_l) if ends_l else np.empty(0, np.int64),
+            np.asarray(s_off, np.int64), self._group_arr, group, seq_id,
+            p.skip_self or p.skip_prefix, p.lower_triangular,
+            p.skip_prefix, wl, mh, p.stage1_topANI_filter,
+            p.stage2_full_scan, ss, max(1.0, p.sketch_size / 1000.0),
+            self.sketch_cutoffs, p.window_length)
+        raw: list[tuple] = []
+        if multi is None:
+            for fi, frag, sk in elig:
+                raw.extend(self.map_fragment(frag, fi, seq_id, group,
+                                             index, sketch=sk))
+            return raw
+        for (fi, frag, sk), rows in zip(elig, multi):
+            if rows is None:          # per-fragment overflow fallback
+                raw.extend(self.map_fragment(frag, fi, seq_id, group,
+                                             index, sketch=sk))
+                continue
+            l1 = [L1Candidate(*r) for r in rows]
+            if l1:
+                raw.extend(self._l2_collect(sk, len(frag), fi, l1,
+                                            index))
+        return raw
 
     def _sketch_all(self, seq: bytes, frags):
         """All fragment sketches in one native call (winnow.cpp:

@@ -276,6 +276,16 @@ def get_l1l2_lib():
         ctypes.c_int64,
         vp, vp, vp, vp, ctypes.c_int64,
     ]
+    lib.l1_fragment_multi.restype = ctypes.c_int64
+    lib.l1_fragment_multi.argtypes = [
+        vp, vp, vp, vp,
+        vp, vp, vp, ctypes.c_int64,
+        vp, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        vp, vp, ctypes.c_int, ctypes.c_int, vp,
+        ctypes.c_double, vp, ctypes.c_int64, ctypes.c_int64,
+        vp, vp, vp, vp, ctypes.c_int64, vp,
+    ]
     lib.chain_roots.restype = None
     lib.chain_roots.argtypes = [
         vp, vp, vp, vp, vp, vp, vp,
@@ -453,6 +463,55 @@ def l1_fragment_native(ep_soa, starts, ends, group_arr, query_group,
         return None
     return [(int(o_seq[i]), int(o_start[i]), int(o_end[i]), int(o_inter[i]))
             for i in range(m)]
+
+
+def l1_fragment_multi_native(ep_soa, starts, ends, s_off, group_arr,
+                             query_group, query_seq_id, skip_group,
+                             lower_tri, split_by_group, window_len,
+                             minimum_hits, stage1_filter,
+                             stage2_full_scan, sketch_size, cutoff_div,
+                             sketch_cutoffs, cluster_len):
+    """l1_fragment over every fragment of a query in ONE call
+    (l1l2.cpp:l1_fragment_multi). starts/ends concatenate with s_off
+    fragment offsets; window_len/minimum_hits/sketch_size are int64
+    arrays per fragment. Returns a list (per fragment) of candidate
+    lists — None entries mark per-fragment overflow fallbacks — or
+    None when the lib is unavailable / the whole call failed."""
+    lib = get_l1l2_lib()
+    if lib is None:
+        return None
+    ep_pos, ep_hash, ep_seq, ep_side = ep_soa
+    n_frag = len(s_off) - 1
+    total = int((ends - starts).sum())
+    cap = max(16, total)
+    out = tuple(np.empty(cap, np.int64) for _ in range(4))
+    counts = np.empty(n_frag, np.int64)
+    cut32 = _cut32(sketch_cutoffs)
+    m = lib.l1_fragment_multi(
+        _ptr(ep_pos), _ptr(ep_hash), _ptr(ep_seq), _ptr(ep_side),
+        _ptr(starts), _ptr(ends), _ptr(s_off), n_frag,
+        _ptr(group_arr), query_group, query_seq_id,
+        int(skip_group), int(lower_tri), int(split_by_group),
+        _ptr(window_len), _ptr(minimum_hits), int(stage1_filter),
+        int(stage2_full_scan), _ptr(sketch_size), float(cutoff_div),
+        _ptr(cut32), len(cut32), cluster_len,
+        _ptr(out[0]), _ptr(out[1]), _ptr(out[2]), _ptr(out[3]), cap,
+        _ptr(counts))
+    if m < 0:
+        return None
+    o_seq, o_start, o_end, o_inter = out
+    res = []
+    o = 0
+    for f in range(n_frag):
+        c = int(counts[f])
+        if c < 0:
+            res.append(None)
+            continue
+        res.append([(int(o_seq[o + i]), int(o_start[o + i]),
+                     int(o_end[o + i]), int(o_inter[o + i]))
+                    for i in range(c)])
+        o += c
+    return res
 
 
 def l2_walk_multi_native(soa, cand_seq, range_start, range_end,

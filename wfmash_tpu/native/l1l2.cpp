@@ -479,6 +479,44 @@ int64_t l2_walk_multi(const uint64_t* mi_hash, const int64_t* mi_wpos,
     return n_out;
 }
 
+// l1_fragment over MANY fragments in one call (one ctypes call per
+// QUERY instead of one per fragment). starts/ends concatenate with
+// s_off fragment offsets; window_len / minimum_hits / sketch_size are
+// per-fragment. Candidates concatenate in fragment order with
+// out_counts[f] rows each (-1 = key-packing overflow: caller re-runs
+// that fragment on its per-fragment path). Returns total rows or -2
+// when cap is insufficient.
+int64_t l1_fragment_multi(
+    const int64_t* ep_pos, const uint64_t* ep_hash,
+    const int32_t* ep_seq, const int8_t* ep_side,
+    const int64_t* starts, const int64_t* ends, const int64_t* s_off,
+    int64_t n_frag, const int64_t* group_of, int64_t query_group,
+    int64_t query_seq_id, int skip_group, int lower_tri,
+    int split_by_group, const int64_t* window_len,
+    const int64_t* minimum_hits, int stage1_filter,
+    int stage2_full_scan, const int64_t* sketch_size,
+    double cutoff_div, const int32_t* sketch_cutoffs,
+    int64_t n_cutoffs, int64_t cluster_len, int64_t* out_seq,
+    int64_t* out_start, int64_t* out_end, int64_t* out_inter,
+    int64_t cap, int64_t* out_counts) {
+    int64_t n_out = 0;
+    for (int64_t f = 0; f < n_frag; f++) {
+        int64_t got = l1_fragment(
+            ep_pos, ep_hash, ep_seq, ep_side, starts + s_off[f],
+            ends + s_off[f], s_off[f + 1] - s_off[f], group_of,
+            query_group, query_seq_id, skip_group, lower_tri,
+            split_by_group, window_len[f], minimum_hits[f],
+            stage1_filter, stage2_full_scan, sketch_size[f], cutoff_div,
+            sketch_cutoffs, n_cutoffs, cluster_len, out_seq + n_out,
+            out_start + n_out, out_end + n_out, out_inter + n_out,
+            cap - n_out);
+        if (got == -2) return -2;
+        out_counts[f] = got;   // -1 = overflow: per-fragment fallback
+        if (got > 0) n_out += got;
+    }
+    return n_out;
+}
+
 // Union-find chaining roots for mergeMappingsInRangeWithChains
 // (map/chain.py::merge_mappings_with_chains is the Python spec —
 // bit-identical: dset64 union-by-rank with smaller-root-wins ties
