@@ -106,3 +106,34 @@ def test_ani_auto_identity(tmp_path):
     assert ani is not None
     # 4% substitution divergence -> ANI estimate in a plausible band
     assert 0.90 <= ani <= 0.99
+
+
+def test_no_split_scaffold_interaction(tmp_path):
+    """-N (no-split) with default scaffolding drops ALL mappings —
+    matching the reference: mergeMappingsInRange returns unmerged on
+    !param.split (mappingFilter.hpp:584), fragment-length chains never
+    reach scaffold_min_length, and empty anchors clear readMappings
+    (mappingFilter.hpp:905-908). With scaffolding off (-j 0), no-split
+    emits per-fragment rows."""
+    import io
+
+    import numpy as np
+
+    from wfmash_tpu.params import MapParams
+    from wfmash_tpu.runner import run_mapping
+    from util import mutate, random_dna, write_fasta
+
+    rng = np.random.default_rng(71)
+    base = random_dna(rng, 30000)
+    tfa, qfa = tmp_path / "t.fa", tmp_path / "q.fa"
+    write_fasta(tfa, {"t1": base})
+    write_fasta(qfa, {"q1": mutate(rng, base, 0.02)})
+    common = dict(ref_sequences=[str(tfa)], query_sequences=[str(qfa)],
+                  percentage_identity=0.85, auto_pct_identity=False,
+                  split=False)
+    buf = io.StringIO()
+    run_mapping(MapParams(**common).finalize(), buf)
+    assert buf.getvalue() == "", "reference parity: -N + scaffolds = empty"
+    buf = io.StringIO()
+    run_mapping(MapParams(**common, scaffold_gap=0).finalize(), buf)
+    assert buf.getvalue().count("\n") > 0
