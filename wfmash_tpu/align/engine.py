@@ -336,7 +336,8 @@ class BudgetedHostEngine(HostWfaEngine):
 
             got = host_align_blocks_native(
                 [(jobs[i][0], jobs[i][1]) for i in main_idx],
-                self.penalties, self.score_cap, 2000, 256,
+                self.penalties, self.score_cap, 2000,
+                int(_os.environ.get("WFMASH_TPU_SEG_TARGET", "256")),
                 int(_os.environ.get("WFMASH_TPU_REFINE_CAP", "800")))
             if got is not NotImplemented:
                 done = set()

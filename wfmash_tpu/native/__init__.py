@@ -49,6 +49,8 @@ def _gpp_flags() -> list[str]:
     shared libs without an LD_PRELOAD, unlike ASAN) — used by
     tests/test_native.py::test_native_libs_ubsan_clean."""
     flags = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+    if os.environ.get("WFMASH_TPU_DEBUGINFO") == "1":
+        flags.append("-g")   # line info for gprofng; same codegen
     if os.environ.get("WFMASH_TPU_SANITIZE") == "1":
         flags += ["-fsanitize=undefined", "-fno-sanitize-recover=all",
                   "-g"]
@@ -867,6 +869,11 @@ def get_segsolve_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             vp, ctypes.c_int64, vp, vp, ctypes.c_int64]
+        try:
+            lib.segsolve_phase_times.restype = None
+            lib.segsolve_phase_times.argtypes = [vp]
+        except AttributeError:   # older cached .so without the timers
+            pass
         _lib5 = lib
     except OSError:
         _lib5 = None
@@ -909,6 +916,23 @@ def segmented_solve_native(q: bytes, t: bytes, p, seg_target: int,
         return list(zip(
             (vals >> 8).tolist(),
             (vals & 0xFF).astype(np.uint8).tobytes().decode("latin-1")))
+
+
+def segsolve_phase_times():
+    """Read-and-reset the native engine's per-thread phase timers.
+    Returns a dict: exact_s (passing probes = the solve itself),
+    probe_fail_s (capped probes that hit the cap), plan_s, place_s,
+    piece_s (piece WFAs incl. refine recursion), n_exact, n_seg,
+    n_pieces. Diagnostic only (perf report / bench phase table)."""
+    lib = get_segsolve_lib()
+    if lib is None or not hasattr(lib, "segsolve_phase_times"):
+        return {}
+    buf = np.zeros(12, np.float64)
+    lib.segsolve_phase_times(_ptr(buf))
+    keys = ("exact_s", "probe_fail_s", "plan_s", "place_s", "piece_s",
+            "n_exact", "n_seg", "n_pieces", "n_diag_fast", "n_capped",
+            "piece_bp", "sum_score2")
+    return dict(zip(keys, buf.tolist()))
 
 
 def host_align_blocks_native(blocks, p, score_cap: int, min_probe: int,

@@ -27,9 +27,23 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <ctime>
 #include <vector>
 
 namespace segsolve {
+
+// Lightweight phase accumulators (per thread; read+reset via
+// segsolve_phase_times). Indices: 0 exact_s (probe passed = the solve),
+// 1 probe_fail_s (capped probe that hit the cap), 2 plan_s,
+// 3 place_s, 4 piece_s (incl. refine recursion), 5 n_exact,
+// 6 n_seg, 7 n_pieces.
+thread_local double g_phase[12] = {0};
+
+static inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
 
 // RLE run list packed like the wfa bindings: (count << 8) | op_char.
 struct RunEmit {
@@ -94,12 +108,14 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
     // plan (growing-buffer retry mirrors the Python wrapper)
     std::vector<int64_t> bq, bt;
     {
+        double t0 = now_s();
         int64_t cap = std::max<int64_t>(64, m / 8);
         for (;;) {
             bq.resize(cap);
             bt.resize(cap);
             int64_t got = plan_block(q, m, t, n, seg_target, lseg, K,
                                      bq.data(), bt.data(), cap);
+            if (got != -1) g_phase[2] += now_s() - t0;
             if (got == -1) {
                 cap *= 4;
                 continue;
@@ -134,9 +150,11 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
             e.cnt = dq;
         } else if (dq - dt > 400 || dt - dq > 400) {
             const int64_t skew = dq - dt;
+            const double tp0 = now_s();
             const int64_t off =
                 skew > 0 ? place_short(t + t0, dt, q + q0, dq, 13, 8)
                          : place_short(q + q0, dq, t + t0, dt, 13, 8);
+            g_phase[3] += now_s() - tp0;
             if (off < 0) {
                 e.type = 'P';
                 e.piece = n_pieces++;
@@ -168,9 +186,33 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
     // solve pieces (plan order == piece order)
     std::vector<std::vector<int64_t>> solved(n_pieces);
     std::vector<int64_t> scratch;
+    // Exact diagonal fast path: a same-length piece whose mismatch
+    // cost is STRICTLY below every gap-pair cost (any path leaving the
+    // diagonal must open one I and one D: >= o+e each) has the pure
+    // diagonal as its unique optimum — the WFA would return exactly
+    // diag_ops' RLE, so emitting it directly is bit-identical. On the
+    // LPA benchmark ~half the anchored pieces qualify.
+    const int64_t gap2 =
+        2 * std::min((int64_t)o1 + e1, (int64_t)o2 + e2);
+    const int64_t diag_max_mm = x > 0 ? (gap2 - 1) / x : -1;
     for (const Ent& e : plan) {
         if (e.piece < 0) continue;
         const int64_t pm = e.q1 - e.q0, pn = e.t1 - e.t0;
+        if (pm == pn && diag_max_mm >= 0) {
+            int64_t cnt = 0;
+            const uint8_t* pq = q + e.q0;
+            const uint8_t* pt = t + e.t0;
+            for (int64_t ii = 0; ii < pm; ii++)
+                if (pq[ii] != pt[ii] && ++cnt > diag_max_mm) break;
+            if (cnt <= diag_max_mm) {
+                RunEmit d;
+                diag_ops(pq, pm, pt, pn, d);
+                solved[e.piece] = std::move(d.runs);
+                g_phase[7] += 1;
+                g_phase[8] += 1;   // diag fast-path pieces
+                continue;
+            }
+        }
         const int64_t junk =
             ((int64_t)x * std::min(pm, pn)) * 55 / 100 + 64;
         const int64_t cap_s =
@@ -178,10 +220,16 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
                                            : junk;
         scratch.resize((size_t)(pm + pn + 64));
         int64_t score = 0;
+        const double tw0 = now_s();
+        g_phase[7] += 1;
         int64_t got = wfa_align_native(
             q + e.q0, pm, t + e.t0, pn, x, o1, e1, o2, e2, 0, 0, 0, 0,
             cap_s, scratch.data(), (int64_t)scratch.size(), &score,
             mem_cap);
+        g_phase[4] += now_s() - tw0;
+        if (got == -1) g_phase[9] += 1;          // capped pieces
+        g_phase[10] += (double)(pm + pn);        // piece bp solved
+        if (score > 0) g_phase[11] += (double)(score * score);
         if (got >= 0) {
             solved[e.piece].assign(scratch.begin(),
                                    scratch.begin() + got);
@@ -272,19 +320,48 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
         const int64_t m = qoff[i + 1] - qoff[i];
         const int64_t n = toff[i + 1] - toff[i];
         out_counts[i] = 0;
+        // whole-block exact diagonal fast path (same argument as the
+        // piece-level one: mismatch cost strictly below any gap-pair
+        // cost => the diagonal is the unique optimum; scan aborts at
+        // the first disqualifying mismatch so non-qualifying blocks
+        // pay ~a few hundred bytes of compares)
+        if (m == n && x > 0) {
+            const int64_t gap2 =
+                2 * std::min((int64_t)o1 + e1, (int64_t)o2 + e2);
+            const int64_t max_mm = (gap2 - 1) / x;
+            int64_t cnt = 0;
+            for (int64_t ii = 0; ii < m; ii++)
+                if (q[ii] != t[ii] && ++cnt > max_mm) break;
+            if (cnt <= max_mm) {
+                segsolve::RunEmit d;
+                segsolve::diag_ops(q, m, t, n, d);
+                if (n_out + (int64_t)d.runs.size() > cap) return -2;
+                std::copy(d.runs.begin(), d.runs.end(), out + n_out);
+                out_counts[i] = (int64_t)d.runs.size();
+                out_status[i] = 0;
+                n_out += out_counts[i];
+                segsolve::g_phase[5] += 1;
+                continue;
+            }
+        }
         const bool probe =
             score_cap > 0 && std::min(m, n) >= min_probe;
         int64_t score = 0;
+        const double tp0 = segsolve::now_s();
         int64_t got = wfa_align_native(
             q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0, 0,
             probe ? score_cap : -1, out + n_out, cap - n_out, &score,
             mem_cap);
         if (got >= 0) {
+            segsolve::g_phase[0] += segsolve::now_s() - tp0;
+            segsolve::g_phase[5] += 1;
             out_counts[i] = got;
             out_status[i] = 0;
             n_out += got;
             continue;
         }
+        segsolve::g_phase[1] += segsolve::now_s() - tp0;
+        segsolve::g_phase[6] += 1;
         if (got == -2) return -2;
         if (got == -4) { out_status[i] = 4; continue; }
         if (got == -3) { out_status[i] = 3; continue; }
@@ -310,6 +387,16 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
         }
     }
     return n_out;
+}
+
+// Read-and-reset the per-thread phase accumulators (see g_phase docs).
+// out must hold 8 doubles. Diagnostic only — used by the perf report
+// (WFMASH_TPU_PERF) and bench.py's phase table.
+void segsolve_phase_times(double* out8) {
+    for (int i = 0; i < 12; i++) {
+        out8[i] = segsolve::g_phase[i];
+        segsolve::g_phase[i] = 0;
+    }
 }
 
 }  // extern "C"
