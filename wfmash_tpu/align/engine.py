@@ -102,8 +102,40 @@ def parse_mashmap_row(line: str, target_padding: int, query_padding: int):
     }
 
 
+class _NormCache:
+    """Normalized-full-sequence cache for the align driver.
+
+    Each PAF record re-fetches (and re-normalizes) its padded slices;
+    on all-vs-all workloads every sequence is touched hundreds of
+    times. Caching bytes(normalize(full_sequence)) once per name makes
+    build_job a pair of slices. Bounded by a shared byte budget
+    (WFMASH_TPU_ALIGN_SEQ_CACHE_MB, default 1024 across both readers);
+    sequences that would exceed it fall back to per-record fetches, so
+    the streaming-memory story survives at scale."""
+
+    def __init__(self, reader: FastaReader, budget: list):
+        self._reader = reader
+        self._budget = budget        # [remaining_bytes], shared
+        self._seqs: dict = {}
+
+    def get(self, name: str):
+        got = self._seqs.get(name)
+        if got is not None:
+            return got
+        if name in self._seqs:       # previously over budget
+            return None
+        if self._reader.seq_len(name) > self._budget[0]:
+            self._seqs[name] = None
+            return None
+        seq = bytes(normalize(self._reader.fetch(name)))
+        self._budget[0] -= len(seq)
+        self._seqs[name] = seq
+        return seq
+
+
 def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
-              params: AlignParams) -> AlignmentJob:
+              params: AlignParams, ref_cache: _NormCache | None = None,
+              query_cache: _NormCache | None = None) -> AlignmentJob:
     """createSeqRecord + processAlignment prep (computeAlignments.hpp:
     582-723). The target is extracted WITHOUT the extra
     +-wflign_max_len_minor context: the reference fetches it
@@ -111,14 +143,22 @@ def build_job(row, ref_reader: FastaReader, query_reader: FastaReader,
     pointer handed to do_biwfa_alignment starts at rStartPos and the
     length excludes the tail padding (computeAlignments.hpp:675,706) —
     so the live path never reads those bases. Verified vestigial."""
-    target = ref_reader.fetch(row["target_name"], row["r_start"], row["r_end"] - 1)
-    query = query_reader.fetch(row["query_name"], row["q_start"], row["q_end"] - 1)
-    target = bytes(normalize(target))
-    qnorm = normalize(query)
-    if row["is_rev"]:
-        query = bytes(reverse_complement(qnorm))
+    tfull = ref_cache.get(row["target_name"]) if ref_cache else None
+    if tfull is not None:
+        target = tfull[row["r_start"]:row["r_end"]]
     else:
-        query = bytes(qnorm)
+        target = bytes(normalize(ref_reader.fetch(
+            row["target_name"], row["r_start"], row["r_end"] - 1)))
+    qfull = query_cache.get(row["query_name"]) if query_cache else None
+    if qfull is not None:
+        qnorm = qfull[row["q_start"]:row["q_end"]]
+    else:
+        qnorm = bytes(normalize(query_reader.fetch(
+            row["query_name"], row["q_start"], row["q_end"] - 1)))
+    if row["is_rev"]:
+        query = bytes(reverse_complement(bytearray(qnorm)))
+    else:
+        query = qnorm
     # lengths come from the FETCHED regions, not the PAF spans: merged
     # chains can claim q_end/r_end beyond the sequence (the reference
     # emits those rows too and its faidx fetch clamps, so queryLen /
@@ -470,6 +510,15 @@ def run_alignment(params: AlignParams, out) -> None:
     if params.sam_format:
         write_sam_header(out, ref_reader)
 
+    import os as _osc
+
+    budget = [int(float(_osc.environ.get(
+        "WFMASH_TPU_ALIGN_SEQ_CACHE_MB", "1024")) * 1e6)]
+    ref_cache = _NormCache(ref_reader, budget)
+    query_cache = (_NormCache(query_reader, budget)
+                   if params.query_sequences[0] != params.ref_sequences[0]
+                   else ref_cache)
+
     engine = make_engine(params)
 
     from .biwfa import align_records_batched
@@ -534,7 +583,8 @@ def run_alignment(params: AlignParams, out) -> None:
             row = rows[start]
             start += 1
             try:
-                job = build_job(row, ref_reader, query_reader, params)
+                job = build_job(row, ref_reader, query_reader, params,
+                                ref_cache, query_cache)
                 chunk.append(job)
                 bp += job.query_length + job.target_length
             except Exception as e:

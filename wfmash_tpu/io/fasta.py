@@ -283,12 +283,19 @@ class FastaReader:
         raw = self._range(lo, hi)
         if first_line == last_line:
             return raw
-        # strip line terminators (lw - lb trailing bytes per line)
+        # strip line terminators (lw - lb trailing bytes per line);
+        # terminator bytes never occur inside sequence data, so a
+        # C-level replace handles the whole buffer (the per-line Python
+        # loop was ~40% of the align driver's fetch cost)
+        take = lb - (start % lb)
+        nterm = lw - lb
+        term = raw[take:take + nterm]
+        if 0 < nterm <= 2 and term in (b"\n", b"\r\n", b"\r"):
+            return raw.replace(term, b"")
         out = bytearray()
         # first partial line
-        take = lb - (start % lb)
         out += raw[:take]
-        pos = take + (lw - lb)
+        pos = take + nterm
         full_needed = last_line - first_line - 1
         for _ in range(full_needed):
             out += raw[pos : pos + lb]

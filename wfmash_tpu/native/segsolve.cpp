@@ -346,6 +346,53 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
         }
         const bool probe =
             score_cap > 0 && std::min(m, n) >= min_probe;
+        // Exact mode (score_cap == 0) on a big block: spend one cheap
+        // segmented solve to get a replayable upper bound U, then run
+        // the exact solve with known-bound lane pruning (see
+        // wfa_align_impl's prune_bound) — the score is provably the
+        // true optimum, at roughly a third of the unpruned lane count.
+        if (score_cap == 0 && std::min(m, n) >= min_probe) {
+            segsolve::RunEmit ub;
+            int64_t ur = segsolve::solve_block(q, m, t, n, x, o1, e1,
+                                               o2, e2, seg_target,
+                                               refine_cap, 0, mem_cap,
+                                               ub);
+            if (ur == 1) {
+                int64_t U = 0;   // score of the segmented CIGAR
+                for (int64_t v : ub.runs) {
+                    const int64_t cnt = v >> 8;
+                    const char op = (char)(v & 0xFF);
+                    if (op == 'X') U += (int64_t)x * cnt;
+                    else if (op == 'I' || op == 'D')
+                        U += std::min((int64_t)o1 + e1 * cnt,
+                                      (int64_t)o2 + e2 * cnt);
+                }
+                int64_t score = 0;
+                const double tp0 = segsolve::now_s();
+                int64_t got =
+                    (m < 32000 && n < 32000)
+                        ? wfa_align_impl<int16_t>(
+                              q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0,
+                              0, -1, out + n_out, cap - n_out, &score,
+                              mem_cap, U)
+                        : wfa_align_impl<int32_t>(
+                              q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0,
+                              0, -1, out + n_out, cap - n_out, &score,
+                              mem_cap, U);
+                segsolve::g_phase[0] += segsolve::now_s() - tp0;
+                if (got >= 0) {
+                    segsolve::g_phase[5] += 1;
+                    out_counts[i] = got;
+                    out_status[i] = 0;
+                    n_out += got;
+                    continue;
+                }
+                if (got == -2) return -2;
+                if (got == -4) { out_status[i] = 4; continue; }
+                // -5 (bound violated — cannot happen with a valid U)
+                // or -3: fall through to the unpruned exact solve
+            }
+        }
         int64_t score = 0;
         const double tp0 = segsolve::now_s();
         int64_t got = wfa_align_native(

@@ -29,9 +29,29 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 namespace {
+
+// Env-gated (WFMASH_TPU_WFA_PROF=1) inner-loop accumulators for the
+// exact engine: 0 combine_s, 1 mpass_s (max/bounds/extend), 2 find_s,
+// 3 n_levels, 4 n_lanes. Read+reset via wfa_prof_times(). The checks
+// cost one predictable branch per level when disabled.
+thread_local double g_wprof[6] = {0};
+inline bool wprof_on() {
+    static thread_local int on = -1;
+    if (on < 0) {
+        const char* e = getenv("WFMASH_TPU_WFA_PROF");
+        on = (e && e[0] == '1') ? 1 : 0;
+    }
+    return on == 1;
+}
+inline double wnow() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
 
 template <typename T>
 struct NegOf;
@@ -159,7 +179,7 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                        int32_t o2, int32_t e2, int64_t tb, int64_t te,
                        int64_t qb, int64_t qe, int64_t max_score,
                        int64_t *out, int64_t cap, int64_t *out_score,
-                       int64_t mem_cap) {
+                       int64_t mem_cap, int64_t prune_bound = -1) {
     constexpr T NEG = NegOf<T>::v;
     if (m == 0 && n == 0) {
         *out_score = 0;
@@ -170,27 +190,31 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
     std::vector<Level<T>> hist;
 
     auto extend = [&](int64_t h, int64_t v) -> int64_t {
-        // LCP from (h query, v target); 64-byte memcmp strides (glibc
-        // memcmp is AVX-vectorized) with an 8-byte XOR/ctz finisher
+        // LCP from (h query, v target). 8-byte XOR/ctz rounds FIRST
+        // (at divergent score levels most lanes have LCP < 8, and the
+        // 64-byte memcmp reads 2x64B just to fail), escalating to
+        // 64-byte memcmp strides (glibc AVX) once 32 clean bytes prove
+        // the run is long.
         int64_t lim = (m - h < n - v) ? m - h : n - v;
         int64_t r = 0;
-        while (r + 64 <= lim &&
-               memcmp(q + h + r, t + v + r, 64) == 0)
-            r += 64;
         while (r + 8 <= lim) {
             uint64_t a, b;
             memcpy(&a, q + h + r, 8);
             memcpy(&b, t + v + r, 8);
             if (a != b) {
-                uint64_t diff = a ^ b;
 #if defined(__GNUC__)
-                r += __builtin_ctzll(diff) >> 3;
+                return r + (__builtin_ctzll(a ^ b) >> 3);
 #else
                 while (q[h + r] == t[v + r]) r++;
-#endif
                 return r;
+#endif
             }
             r += 8;
+            if (r == 32) {
+                while (r + 64 <= lim &&
+                       memcmp(q + h + r, t + v + r, 64) == 0)
+                    r += 64;
+            }
         }
         while (r < lim && q[h + r] == t[v + r]) r++;
         return r;
@@ -246,6 +270,7 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
     while (!done) {
         s++;
         if (max_score >= 0 && s > max_score) return -1;
+        if (prune_bound >= 0 && s > prune_bound) return -5;  // bad bound
         if (s > score_cap) return -3;
         if (mem_cap > 0 && (int64_t)arena.used > mem_cap) return -4;
 
@@ -278,6 +303,38 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
         }
         lo -= 1;
         hi += 1;
+        // Known-bound pruning (end-to-end only): a path on diagonal k
+        // at score s still has to make a net diagonal change of
+        // d = |k_end - k| to finish. From a GAP-state cell the run can
+        // continue without re-opening, so the sound shared bound is
+        // the weak LB(d) = d*min(e1,e2); from an M-state cell any
+        // completion must open a fresh gap, so M lanes tighten to the
+        // strong LB(d) = min(o1+e1*d, o2+e2*d). Lanes violating their
+        // bound are provably off every <=U path, so clamping them
+        // leaves the offsets of all reachable-within-U cells (and the
+        // backtrace's winning candidates — see the proof in
+        // host_align_blocks' caller notes) bit-identical.
+        int64_t m_klo = INT64_MIN / 2, m_khi = INT64_MAX / 2;
+        if (prune_bound >= 0) {
+            const int64_t rem = prune_bound - s;
+            const int64_t emin = e1 < e2 ? e1 : e2;
+            const int64_t d_weak = emin > 0 ? rem / emin : rem;
+            int64_t d_strong = 0;
+            if (rem > o1 && e1 > 0) d_strong = (rem - o1) / e1;
+            if (rem > o2 && e2 > 0) {
+                const int64_t d2m = (rem - o2) / e2;
+                if (d2m > d_strong) d_strong = d2m;
+            }
+            const int64_t k_end = m - n;
+            if (k_end - d_weak > lo) lo = k_end - d_weak;
+            if (k_end + d_weak < hi) hi = k_end + d_weak;
+            if (lo > hi) {
+                hist.push_back(Level<T>{});
+                continue;
+            }
+            m_klo = k_end - d_strong;
+            m_khi = k_end + d_strong;
+        }
         int64_t nk = hi - lo + 1;
 
         Level<T> L;
@@ -394,10 +451,19 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
         View vI2 = view(s - e2, offsetof(Level<T>, I2));
         View vD1 = view(s - e1, offsetof(Level<T>, D1));
         View vD2 = view(s - e2, offsetof(Level<T>, D2));
+        const bool prof = wprof_on();
+        double tprof = prof ? wnow() : 0.0;
         if (has_i1) combine2(L.I1, vMo1, vI1, -1, (T)1);
         if (has_i2) combine2(L.I2, vMo2, vI2, -1, (T)1);
         if (has_d1) combine2(L.D1, vMo1, vD1, +1, (T)0);
         if (has_d2) combine2(L.D2, vMo2, vD2, +1, (T)0);
+        if (prof) {
+            double t1 = wnow();
+            g_wprof[0] += t1 - tprof;
+            tprof = t1;
+            g_wprof[3] += 1;
+            g_wprof[4] += (double)nk;
+        }
         if (has_m) {
             // best = max(Mx[k]+1, I1, I2, D1, D2) into L.M (in place),
             // branch-free vector passes; then one scalar extend pass.
@@ -429,7 +495,15 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                     if (w > best[i]) best[i] = w;
                 }
             }
-            for (int64_t i = 0; i < nk; i++) {
+            // M lanes outside the strong prune window can never be on
+            // a <=U path (completion from M re-opens a gap)
+            int64_t i0 = 0, i1 = nk;
+            if (m_klo > lo) i0 = m_klo - lo < nk ? m_klo - lo : nk;
+            if (m_khi < lo + nk - 1)
+                i1 = m_khi - lo + 1 > 0 ? m_khi - lo + 1 : 0;
+            for (int64_t i = 0; i < i0; i++) L.M[i] = NEG;
+            for (int64_t i = i1; i < nk; i++) L.M[i] = NEG;
+            for (int64_t i = i0; i < i1; i++) {
                 T b = best[i];
                 if (b <= NEG) {
                     L.M[i] = NEG;
@@ -445,8 +519,14 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                 L.M[i] = (T)(h + extend(h, v));
             }
         }
+        if (prof) {
+            double t1 = wnow();
+            g_wprof[1] += t1 - tprof;
+            tprof = t1;
+        }
         hist.push_back(L);
         done = find_end(hist.back(), &end_k, &end_h);
+        if (prof) g_wprof[2] += wnow() - tprof;
     }
 
     // ---- backtrace (identical rules to wfa_vec._backtrace) -------------
@@ -553,6 +633,16 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
 
 extern "C" {
 
+// Read-and-reset the exact engine's inner-loop profile accumulators
+// (active only under WFMASH_TPU_WFA_PROF=1): combine_s, mpass_s,
+// find_s, n_levels, n_lanes. out must hold 6 doubles.
+void wfa_prof_times(double* out6) {
+    for (int i = 0; i < 6; i++) {
+        out6[i] = g_wprof[i];
+        g_wprof[i] = 0;
+    }
+}
+
 // Returns: number of RLE ops written to out (packed (count<<8)|op_char),
 // with *out_score set; -1 if max_score exceeded (caller returns
 // (None, None)); -2 if out capacity insufficient (caller falls back);
@@ -565,15 +655,26 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                          int64_t qb, int64_t qe, int64_t max_score,
                          int64_t *out, int64_t cap, int64_t *out_score,
                          int64_t mem_cap) {
+    // A max_score cap on an end-to-end problem doubles as a
+    // known-bound lane prune (see wfa_align_impl): if the optimum is
+    // <= cap the pruned sweep finds exactly it, and if not it fails at
+    // the same score the capped sweep would — identical accept/reject
+    // semantics at ~a third of the lanes. -5 maps back to the -1 cap
+    // contract.
+    const int64_t prune =
+        (tb == 0 && te == 0 && qb == 0 && qe == 0) ? max_score : -1;
     // int16 lanes when every stored offset (<= m) fits comfortably;
     // identical arithmetic, half the memory traffic, double SIMD width
+    int64_t r;
     if (m < 32000 && n < 32000)
-        return wfa_align_impl<int16_t>(q, m, t, n, x, o1, e1, o2, e2, tb,
-                                       te, qb, qe, max_score, out, cap,
-                                       out_score, mem_cap);
-    return wfa_align_impl<int32_t>(q, m, t, n, x, o1, e1, o2, e2, tb, te,
-                                   qb, qe, max_score, out, cap, out_score,
-                                   mem_cap);
+        r = wfa_align_impl<int16_t>(q, m, t, n, x, o1, e1, o2, e2, tb,
+                                    te, qb, qe, max_score, out, cap,
+                                    out_score, mem_cap, prune);
+    else
+        r = wfa_align_impl<int32_t>(q, m, t, n, x, o1, e1, o2, e2, tb,
+                                    te, qb, qe, max_score, out, cap,
+                                    out_score, mem_cap, prune);
+    return r == -5 ? -1 : r;
 }
 
 // Many small end-to-end alignments in ONE call (the segmented host
