@@ -34,6 +34,20 @@ MAX_ERODE_LENGTH = 4096
 MIN_CONSECUTIVE_MATCHES = 11
 
 
+def ops_score(ops, p: Penalties) -> int:
+    """2-piece-affine score of a CIGAR (cheapest flavor per gap run) —
+    an upper bound on the optimal score of any problem this alignment
+    is a valid candidate for."""
+    s = 0
+    for n, op in ops:
+        if op == "X":
+            s += p.mismatch * n
+        elif op in "ID":
+            s += min(p.gap_opening1 + p.gap_extension1 * n,
+                     p.gap_opening2 + p.gap_extension2 * n)
+    return s
+
+
 @dataclass
 class AlignmentJob:
     """One mapping record to align (sequences already extracted/normalized;
@@ -66,8 +80,10 @@ class HostWfaEngine:
         _, ops = wfa_align(query, target, self.penalties, ends_free)
         return ops
 
-    def align_batch(self, jobs):
+    def align_batch(self, jobs, bounds=None):
         """jobs: list of (query, target, ends_free|None) -> list of ops.
+        bounds: optional per-job score upper bounds (engines that can
+        exploit them prune with them; this one ignores them).
 
         The native WFA releases the GIL for the whole call (ctypes) and
         its history arena is thread-local, so on multi-core hosts the
@@ -150,7 +166,8 @@ def patch_boundaries_batched(items: list, engine, trace=None) -> list:
     trace: optional list; appends (item_idx, kind, q_erode, t_erode,
     applied) per attempted patch (--path-patching-tsv)."""
     out = [ops for ops, _, _ in items]
-    head_jobs, head_meta = [], []
+    pens = getattr(engine, "penalties", None)
+    head_jobs, head_meta, head_bounds = [], [], []
     for i, (ops, q, t) in enumerate(items):
         q_er, t_er, erode_ops = C.erode_head(
             ops, MIN_PATCH_LENGTH, MAX_ERODE_LENGTH, MIN_CONSECUTIVE_MATCHES
@@ -159,15 +176,27 @@ def patch_boundaries_batched(items: list, engine, trace=None) -> list:
             head_jobs.append((q[:q_er], t[:t_er],
                               EndsFree(target_begin=t_er, query_begin=q_er)))
             head_meta.append((i, erode_ops, q_er, t_er))
+            # the eroded head is itself a valid ends-free candidate
+            # (start at the corner — or, dropping a leading gap run, on
+            # the free edge it spans — and end at the erode point), so
+            # its score upper-bounds the patch optimum; engines prune
+            # their wavefronts with it
+            if pens:
+                cand = ops[:erode_ops]
+                if cand and cand[0][1] in "ID":
+                    cand = cand[1:]     # leading run lies in a free span
+                head_bounds.append(ops_score(cand, pens))
+            else:
+                head_bounds.append(None)
     if head_jobs:
-        got = engine.align_batch(head_jobs)
+        got = engine.align_batch(head_jobs, bounds=head_bounds)
         for (i, erode_ops, q_er, t_er), hops in zip(head_meta, got):
             if hops is not None:
                 hops = C.erode_short_matches(hops, 3, is_head=True)
                 out[i] = C.merge_adjacent(hops, out[i][erode_ops:])
             if trace is not None:
                 trace.append((i, "head", q_er, t_er, hops is not None))
-    tail_jobs, tail_meta = [], []
+    tail_jobs, tail_meta, tail_bounds = [], [], []
     for i, (_, q, t) in enumerate(items):
         q_er, t_er, erode_start = C.erode_tail(
             out[i], MIN_PATCH_LENGTH, MAX_ERODE_LENGTH,
@@ -177,8 +206,15 @@ def patch_boundaries_batched(items: list, engine, trace=None) -> list:
             tail_jobs.append((q[len(q) - q_er:], t[len(t) - t_er:],
                               EndsFree(target_end=t_er, query_end=q_er)))
             tail_meta.append((i, erode_start, q_er, t_er))
+            if pens:
+                cand = out[i][erode_start:]
+                if cand and cand[-1][1] in "ID":
+                    cand = cand[:-1]    # trailing run ends on a free edge
+                tail_bounds.append(ops_score(cand, pens))
+            else:
+                tail_bounds.append(None)
     if tail_jobs:
-        got = engine.align_batch(tail_jobs)
+        got = engine.align_batch(tail_jobs, bounds=tail_bounds)
         for (i, erode_start, q_er, t_er), tops in zip(tail_meta, got):
             if tops is not None:
                 tops = C.erode_short_matches(tops, 3, is_head=False)

@@ -352,14 +352,20 @@ class BudgetedHostEngine(HostWfaEngine):
                 self._full = _build_segmented(self.penalties, eng)
             return self._full.align(query, target, ends_free)
 
-    def align_batch(self, jobs):
+    def align_batch(self, jobs, bounds=None):
         """Batch fast path: ALL end-to-end main blocks run in ONE
         native call (segsolve.cpp:host_align_blocks — capped probe +
         segmented reroute + small-block exact per block), and all
         ends-free patch jobs in one more; only the rare leftovers
         (unplannable blocks, memory-budget reroutes, solver fallbacks)
         go through align() per job. Output is byte-identical to the
-        per-job path (tested)."""
+        per-job path (tested).
+
+        bounds: optional per-job score upper bounds (a valid candidate
+        alignment's score, e.g. the eroded ops a boundary patch
+        replaces). Ends-free jobs prune their wavefronts with them —
+        the optimum never exceeds a valid bound, so results are
+        unchanged (bit-identical, see wfa.cpp)."""
         from ..native import WfaMemoryBudget, wfa_align_batch_native
 
         if int(getattr(self, "threads", 1)) > 1:
@@ -397,7 +403,7 @@ class BudgetedHostEngine(HostWfaEngine):
         # batch the ends-free patch jobs too (one native call); head
         # patches (free-begin only) apply the reversal transform first
         # — see align() for the rationale
-        ef_idx, ef_pieces, ef_spans, ef_rev = [], [], [], []
+        ef_idx, ef_pieces, ef_spans, ef_rev, ef_bound = [], [], [], [], []
         for i in todo:
             q, t, ef = jobs[i]
             if ef is None:
@@ -413,10 +419,19 @@ class BudgetedHostEngine(HostWfaEngine):
                 ef_spans.append((ef.target_begin, ef.target_end,
                                  ef.query_begin, ef.query_end))
                 ef_rev.append(False)
+            ef_bound.append(bounds[i] if bounds is not None
+                            and i < len(bounds) else None)
             ef_idx.append(i)
         if len(ef_idx) >= 2:
-            caps = ([self.patch_cap] * len(ef_idx)
-                    if self.patch_cap > 0 else None)
+            if self.patch_cap > 0:
+                caps = [self.patch_cap if b is None
+                        else min(b, self.patch_cap) for b in ef_bound]
+            elif any(b is not None for b in ef_bound):
+                # a valid bound can never reject (optimum <= bound), so
+                # -1 per-piece results cannot occur here
+                caps = [-1 if b is None else b for b in ef_bound]
+            else:
+                caps = None
             solved = None
             try:
                 solved = wfa_align_batch_native(

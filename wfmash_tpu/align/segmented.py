@@ -566,7 +566,7 @@ class SegmentedEngine:
     def align(self, query: bytes, target: bytes, ends_free=None):
         return self.align_batch([(query, target, ends_free)])[0]
 
-    def align_batch(self, jobs):
+    def align_batch(self, jobs, bounds=None):
         import time as _time
 
         from ..utils import perf

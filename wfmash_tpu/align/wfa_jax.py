@@ -536,7 +536,8 @@ class JaxWfaEngine:
         return self.seg_solver
 
     # -- batched API ------------------------------------------------------
-    def align_batch(self, jobs, allow_seg: bool = True):
+    def align_batch(self, jobs, allow_seg: bool = True,
+                    bounds=None):
         """jobs: [(query, target, ends_free|None)] -> [ops].
 
         allow_seg=False skips the segment-kernel leaf batching (used for

@@ -927,11 +927,11 @@ def segsolve_phase_times():
     lib = get_segsolve_lib()
     if lib is None or not hasattr(lib, "segsolve_phase_times"):
         return {}
-    buf = np.zeros(12, np.float64)
+    buf = np.zeros(16, np.float64)
     lib.segsolve_phase_times(_ptr(buf))
     keys = ("exact_s", "probe_fail_s", "plan_s", "place_s", "piece_s",
             "n_exact", "n_seg", "n_pieces", "n_diag_fast", "n_capped",
-            "piece_bp", "sum_score2")
+            "piece_bp", "sum_score2", "call_s", "r13", "r14", "r15")
     return dict(zip(keys, buf.tolist()))
 
 

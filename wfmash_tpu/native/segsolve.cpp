@@ -37,7 +37,7 @@ namespace segsolve {
 // 1 probe_fail_s (capped probe that hit the cap), 2 plan_s,
 // 3 place_s, 4 piece_s (incl. refine recursion), 5 n_exact,
 // 6 n_seg, 7 n_pieces.
-thread_local double g_phase[12] = {0};
+thread_local double g_phase[16] = {0};
 
 static inline double now_s() {
     struct timespec ts;
@@ -67,6 +67,24 @@ struct RunEmit {
         for (; i < k; i++) runs.push_back(p[i]);
     }
 };
+
+// Score of the trivial diagonal alignment (per-base =/X + one
+// trailing gap run), scanned with early abort at `limit`: any
+// end-to-end problem's optimum is <= this, so min(cap, diag_bound) is
+// a semantics-preserving max_score that prunes near-identical
+// problems' wavefronts hard (see wfa.cpp's known-bound prune).
+// Returns >= limit when the bound is not useful.
+static int64_t diag_bound(const uint8_t* q, int64_t m, const uint8_t* t,
+                          int64_t n, int32_t x, int32_t o1, int32_t e1,
+                          int32_t o2, int32_t e2, int64_t limit) {
+    const int64_t L = std::min(m, n);
+    const int64_t d = m > n ? m - n : n - m;
+    int64_t s = d ? std::min((int64_t)o1 + e1 * d, (int64_t)o2 + e2 * d)
+                  : 0;
+    for (int64_t i = 0; i < L && s < limit; i++)
+        if (q[i] != t[i]) s += x;
+    return s;
+}
 
 // segmented.py::_diag_ops — trivial replayable alignment for
 // junk-level pieces: per-base =/X on the main diagonal + the length
@@ -222,10 +240,14 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
         int64_t score = 0;
         const double tw0 = now_s();
         g_phase[7] += 1;
+        // diagonal-score upper bound tightens the cap (identical
+        // accept/reject + bit-identical CIGAR, see diag_bound)
+        const int64_t db = diag_bound(q + e.q0, pm, t + e.t0, pn, x,
+                                      o1, e1, o2, e2, cap_s);
         int64_t got = wfa_align_native(
             q + e.q0, pm, t + e.t0, pn, x, o1, e1, o2, e2, 0, 0, 0, 0,
-            cap_s, scratch.data(), (int64_t)scratch.size(), &score,
-            mem_cap);
+            std::min(cap_s, db), scratch.data(),
+            (int64_t)scratch.size(), &score, mem_cap);
         g_phase[4] += now_s() - tw0;
         if (got == -1) g_phase[9] += 1;          // capped pieces
         g_phase[10] += (double)(pm + pn);        // piece bp solved
@@ -313,6 +335,7 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
                           int64_t* out, int64_t cap,
                           int64_t* out_counts, int64_t* out_status,
                           int64_t mem_cap) {
+    const double tcall0 = segsolve::now_s();
     int64_t n_out = 0;
     for (int64_t i = 0; i < n_blocks; i++) {
         const uint8_t* q = qbuf + qoff[i];
@@ -395,9 +418,16 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
         }
         int64_t score = 0;
         const double tp0 = segsolve::now_s();
+        int64_t ms = probe ? score_cap : -1;
+        if (probe) {
+            // diagonal-score bound: semantics-preserving cap tightener
+            const int64_t db = segsolve::diag_bound(
+                q, m, t, n, x, o1, e1, o2, e2, score_cap);
+            if (db < ms) ms = db;
+        }
         int64_t got = wfa_align_native(
             q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0, 0,
-            probe ? score_cap : -1, out + n_out, cap - n_out, &score,
+            ms, out + n_out, cap - n_out, &score,
             mem_cap);
         if (got >= 0) {
             segsolve::g_phase[0] += segsolve::now_s() - tp0;
@@ -433,6 +463,7 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
             out_status[i] = 3;
         }
     }
+    segsolve::g_phase[12] += segsolve::now_s() - tcall0;  // total call
     return n_out;
 }
 
@@ -440,7 +471,7 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
 // out must hold 8 doubles. Diagnostic only — used by the perf report
 // (WFMASH_TPU_PERF) and bench.py's phase table.
 void segsolve_phase_times(double* out8) {
-    for (int i = 0; i < 12; i++) {
+    for (int i = 0; i < 16; i++) {
         out8[i] = segsolve::g_phase[i];
         segsolve::g_phase[i] = 0;
     }

@@ -325,15 +325,17 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                 const int64_t d2m = (rem - o2) / e2;
                 if (d2m > d_strong) d_strong = d2m;
             }
-            const int64_t k_end = m - n;
-            if (k_end - d_weak > lo) lo = k_end - d_weak;
-            if (k_end + d_weak < hi) hi = k_end + d_weak;
+            // acceptance window [m-n-qe, m-n+te] (a point when the
+            // ends are pinned); net change needed = distance to it
+            const int64_t acc_lo = m - n - qe, acc_hi = m - n + te;
+            if (acc_lo - d_weak > lo) lo = acc_lo - d_weak;
+            if (acc_hi + d_weak < hi) hi = acc_hi + d_weak;
             if (lo > hi) {
                 hist.push_back(Level<T>{});
                 continue;
             }
-            m_klo = k_end - d_strong;
-            m_khi = k_end + d_strong;
+            m_klo = acc_lo - d_strong;
+            m_khi = acc_hi + d_strong;
         }
         int64_t nk = hi - lo + 1;
 
@@ -655,14 +657,14 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
                          int64_t qb, int64_t qe, int64_t max_score,
                          int64_t *out, int64_t cap, int64_t *out_score,
                          int64_t mem_cap) {
-    // A max_score cap on an end-to-end problem doubles as a
-    // known-bound lane prune (see wfa_align_impl): if the optimum is
-    // <= cap the pruned sweep finds exactly it, and if not it fails at
-    // the same score the capped sweep would — identical accept/reject
-    // semantics at ~a third of the lanes. -5 maps back to the -1 cap
-    // contract.
-    const int64_t prune =
-        (tb == 0 && te == 0 && qb == 0 && qe == 0) ? max_score : -1;
+    // A max_score cap doubles as a known-bound lane prune (see
+    // wfa_align_impl): if the optimum is <= cap the pruned sweep finds
+    // exactly it (bit-identically), and if not it fails at the same
+    // score the capped sweep would. The bound is on the REMAINING path
+    // (distance to the acceptance window), so it is seed-agnostic and
+    // holds for every ends-free configuration. -5 maps back to the -1
+    // cap contract.
+    const int64_t prune = max_score;
     // int16 lanes when every stored offset (<= m) fits comfortably;
     // identical arithmetic, half the memory traffic, double SIMD width
     int64_t r;
