@@ -1,137 +1,210 @@
 """Benchmark: the reference's headline workload, end to end, on TPU.
 
-Runs `wfmash data/LPA.subset.fa.gz -p 80 -n 5 -t 8` — the de-facto
-wfmash performance benchmark (doc/performance-tuning.md; best published
-number 5.971 s wall on an 8-core AVX2 Ryzen 3700X, static+native
-build) — through the full wfmash-tpu pipeline: host/native mapping +
-anchored segmented alignment on the device segment kernel.
+Runs `wfmash data/LPA.subset.fa.gz -p 80 -n 5` — the de-facto wfmash
+performance benchmark (doc/performance-tuning.md; best published number
+5.971 s wall / 42.3 s user on an 8-core AVX2 Ryzen 3700X,
+static+native build) — through the full wfmash-tpu pipeline.
 
-Protocol: mapping is timed directly; the align phase runs TWICE in
-process and the SECOND run is timed. The first run absorbs the one-off
-kernel compilations, which through the axon tunnel happen server-side
-at first execution (30-400 s/program, LRU-cached per server — see
-ARCHITECTURE.md); a deployment on local TPU hosts pays them once per
-program lifetime via the persistent JAX cache.
+Protocol (VERDICT round-3 #1/#3):
 
-Prints the round perf TRIO as three JSON lines (VERDICT round-2 #2),
-headline last:
-  1. wfa_sweep_throughput      — exact-engine Pallas sweep Gcells/s
-  2. align_device_busy_fraction — device wall / align wall on the warm
-     E2E pass (device time = forced D2H completion around every kernel
-     batch, the only reliable completion point through the tunnel)
-  3. lpa_allvsall_e2e_warm_wall — map wall + warm align wall (headline;
+* The E2E headline is the MEDIAN of >= 3 interleaved (map, align)
+  repeats in one process, after one warm pass that absorbs one-off
+  compiles; the unit string carries the min..max band. Shared-VM noise
+  here is +-30%, so single shots are meaningless (the reference binary
+  itself cannot run in this checkout — its WFA2-lib submodule is empty
+  — so the interleaving is across our own repeats against its
+  published number).
+* Exact-vs-exact: one full run with WFMASH_TPU_HOST_SCORE_CAP=0 (the
+  reference's default is the true optimum per block), reported in CPU
+  seconds against the reference's 42.3 s user.
+* Device metrics run in RETRIED, timeout-guarded subprocesses so a
+  dead tunnel degrades to explicit nulls instead of hanging or
+  poisoning the host-path numbers, and a tunnel that recovers between
+  phases is still captured (the in-process RTT cache switches the
+  parent to CPU on the first failure, runner.py).
+
+Metrics (one JSON line each, headline LAST):
+  1. wfa_sweep_throughput       — exact-engine Pallas sweep Gcells/s
+  2. seg_kernel_throughput      — tiered segment kernel (the device
+     align workhorse) on a real segment load: Gcells/s + MFU against
+     the documented VPU roofline (ARCHITECTURE.md "Roofline model")
+  3. align_device_busy_fraction — device wall / align wall on the warm
+     E2E pass
+  4. lpa_exact_align_cpu        — exact mode map+align CPU seconds
+     (vs_baseline = 42.3 / value; >= 1.0 beats the reference's own
+     exact default per CPU-second)
+  5. lpa_allvsall_e2e_warm_wall — median map+align wall (headline;
      vs_baseline = 5.971 / value)
 """
 
 import io
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-
 LPA = "/root/reference/data/LPA.subset.fa.gz"
 BASELINE_WALL = 5.971    # s, reference static+native build, 8C Ryzen
 BASELINE_USER = 42.3     # s user on those 8 cores (same run)
+
+# Roofline model (documented in ARCHITECTURE.md): one TPU v5e core's
+# VPU is 8 sublanes x 128 lanes at ~940 MHz with ~2 elementwise ops per
+# cycle -> ~1.93e12 int/f32 ops/s. One wavefront "cell" here is one
+# (score level, diagonal lane, state) update costing ~6 VPU ops (shift,
+# max, add, bounds select, extension select amortized), so the
+# achievable ceiling is ~320 Gcells/s; MFU = measured / ceiling.
+VPU_OPS_PER_S = 8 * 128 * 940e6 * 2
+OPS_PER_CELL = 6.0
+ROOFLINE_GCELLS = VPU_OPS_PER_S / OPS_PER_CELL / 1e9
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_sweep() -> None:
-    """Round-1 metric, kept for the trend line: exact-engine wavefront
-    sweep throughput (64 x ~16 kb @ 5% divergence, K=512)."""
-    from wfmash_tpu.align.wfa_np import Penalties
-    from wfmash_tpu.align.wfa_pallas import NEG_I, UNSET32, PallasSweeps
+def emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_baseline}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
 
-    p = Penalties(5, 8, 2, 24, 1)
-    B, K, L = 64, 512, 16384
-    rng = np.random.default_rng(0)
-    q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, (B, L))]
+
+# ---------------------------------------------------------------------------
+# Device metrics (subprocess-guarded, retried)
+# ---------------------------------------------------------------------------
+
+_SWEEP_SRC = r"""
+import json, sys, time
+import numpy as np
+from wfmash_tpu.utils import jaxcache
+jaxcache.enable()
+from wfmash_tpu.align.wfa_np import Penalties
+from wfmash_tpu.align.wfa_pallas import NEG_I, UNSET32, PallasSweeps
+
+p = Penalties(5, 8, 2, 24, 1)
+B, K, L = 64, 512, 16384
+rng = np.random.default_rng(0)
+q = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, (B, L))]
+t = q.copy()
+mut = rng.random((B, L)) < 0.05
+t[mut] = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, int(mut.sum()))]
+m = L - 64
+query = np.full((B, L), 0x01, np.uint8); query[:, :m] = q[:, :m]
+target = np.full((B, L), 0x02, np.uint8); target[:, :m] = t[:, :m]
+qlen = np.full(B, m, np.int32); tlen = np.full(B, m, np.int32)
+axis_q = np.zeros(B, bool)
+mid = tlen // 2
+seed_off = np.full((B, K), NEG_I, np.int32); seed_off[:, K // 2] = 0
+seed_anc = np.full((B, K), UNSET32, np.uint32)
+done0 = np.zeros(B, bool)
+eng = PallasSweeps(p, interpret=False)
+def run():
+    return eng.sweep(query, target, qlen, tlen, axis_q, mid,
+                     seed_off, seed_anc, done0, max_s=200000, K=K)
+f_score, _, _, fin, _ = run()
+assert np.asarray(fin).all()
+best = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    f_score, _, _, fin, _ = run()
+    np.asarray(fin)
+    best = min(best, time.time() - t0)
+cells = int(np.asarray(f_score).astype(np.int64).sum()) * K * 5
+print("RESULT=" + json.dumps({"gcells": cells / best / 1e9}))
+"""
+
+_SEGK_SRC = r"""
+import json, sys, time
+import numpy as np
+from wfmash_tpu.utils import jaxcache
+jaxcache.enable()
+from wfmash_tpu.align.wfa_np import Penalties
+from wfmash_tpu.align.wfa_pallas_seg import TieredSegmentSolver
+
+p = Penalties(5, 8, 2, 24, 1)
+rng = np.random.default_rng(1)
+# a realistic anchored-segment load: 4096 ~270bp segments, 5% SNP +
+# 2% indel divergence (the LPA batch shape, BASELINE.md r02 row)
+jobs = []
+for _ in range(4096):
+    L = int(rng.integers(200, 340))
+    q = rng.integers(0, 4, L).astype(np.uint8)
     t = q.copy()
-    mut = rng.random((B, L)) < 0.05
-    t[mut] = np.frombuffer(b"ACGT", np.uint8)[
-        rng.integers(0, 4, int(mut.sum()))]
-    m = L - 64
-    query = np.full((B, L), 0x01, np.uint8)
-    query[:, :m] = q[:, :m]
-    target = np.full((B, L), 0x02, np.uint8)
-    target[:, :m] = t[:, :m]
-    qlen = np.full(B, m, np.int32)
-    tlen = np.full(B, m, np.int32)
-    axis_q = np.zeros(B, bool)
-    mid = tlen // 2
-    seed_off = np.full((B, K), NEG_I, np.int32)
-    seed_off[:, K // 2] = 0
-    seed_anc = np.full((B, K), UNSET32, np.uint32)
-    done0 = np.zeros(B, bool)
-
-    eng = PallasSweeps(p, interpret=False)
-
-    def run():
-        return eng.sweep(query, target, qlen, tlen, axis_q, mid,
-                         seed_off, seed_anc, done0, max_s=200000, K=K)
-
-    f_score, _, _, fin, _clip = run()  # compile + warm
-    assert np.asarray(fin).all()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        f_score, _, _, fin, _ = run()
-        np.asarray(fin)
-        best = min(best, time.time() - t0)
-
-    cells = int(np.asarray(f_score).astype(np.int64).sum()) * K * 5
-    gcells = cells / best / 1e9
-    baseline = 10.0  # Gcells/s, 8-core AVX2 WFA2-lib estimate
-    print(json.dumps({
-        "metric": "wfa_sweep_throughput",
-        "value": round(gcells, 4),
-        "unit": "Gcells/s/chip",
-        "vs_baseline": round(gcells / baseline, 4),
-    }), flush=True)
+    snp = rng.random(L) < 0.05
+    t[snp] = (t[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    dels = np.nonzero(rng.random(len(t)) < 0.01)[0]
+    t = np.delete(t, dels)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    jobs.append((ACGT[q].tobytes(), ACGT[t].tobytes(), None))
+solver = TieredSegmentSolver(p, interpret=False)
+res = solver.solve(jobs)          # compile + warm
+n_ok = sum(r is not None for r in res)
+best = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    res = solver.solve(jobs)
+    best = min(best, time.time() - t0)
+bp = sum(len(q) for q, _, _ in jobs)
+# cells = levels x lanes x states actually swept: tier-1 dominates
+# (PB=64, K=128, smax=128); conservative: K*smax*5 per job solved
+cells = n_ok * 128 * 128 * 5
+print("RESULT=" + json.dumps({
+    "gcells": cells / best / 1e9, "mbp_s": bp / best / 1e6,
+    "n_ok": n_ok, "wall_s": best}))
+"""
 
 
-def main() -> None:
-    from wfmash_tpu.utils import jaxcache
+def device_metric(src: str, tries: int = 2, timeout_s: float | None = None):
+    """Run a device benchmark snippet in a subprocess; retry on failure
+    (the tunnel's server-side compile can exceed one timeout, and a
+    tunnel that recovers between phases should still be captured)."""
+    timeout_s = timeout_s or float(os.environ.get(
+        "WFMASH_TPU_BENCH_DEV_TIMEOUT_S", "600"))
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", "/root/repo")
+    for attempt in range(tries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", src], capture_output=True,
+                text=True, timeout=timeout_s, env=env)
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT="):
+                    return json.loads(line[len("RESULT="):])
+            log(f"[bench] device metric attempt {attempt + 1}: no result "
+                f"({out.stderr.strip()[-300:]})")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] device metric attempt {attempt + 1}: timeout "
+                f"after {timeout_s:.0f}s")
+    return None
 
-    jaxcache.enable()
+
+def probe_rtt() -> float:
+    """Subprocess-guarded device RTT (ms); inf when unreachable."""
+    from wfmash_tpu.runner import _device_rtt_ms
+
+    return _device_rtt_ms()
+
+
+# ---------------------------------------------------------------------------
+# Host E2E
+# ---------------------------------------------------------------------------
+
+def run_e2e_once(threads: int):
+    """One (map, align) pass; returns (map_wall, align_wall, n_rows,
+    align_out_text)."""
     from wfmash_tpu.align.engine import run_alignment
     from wfmash_tpu.params import AlignParams, MapParams
-    from wfmash_tpu.runner import _device_rtt_ms, run_mapping
-    from wfmash_tpu.utils import perf
+    from wfmash_tpu.runner import run_mapping
 
-    # subprocess-guarded probe FIRST: a dead tunnel degrades the whole
-    # bench to the host paths instead of hanging device init
-    rtt = _device_rtt_ms()
-    log(f"[bench] device RTT: {rtt:.1f} ms")
-
-    if rtt != float("inf"):
-        try:
-            bench_sweep()
-        except Exception as e:  # keep the headline metric alive regardless
-            log(f"[bench] sweep benchmark failed: {e}")
-    else:
-        log("[bench] device unreachable; skipping sweep benchmark")
-        # keep the perf-trio line count stable for round-over-round
-        # comparison even when the tunnel is down
-        print(json.dumps({
-            "metric": "wfa_sweep_throughput",
-            "value": None,
-            "unit": "Gcells/s/chip (device unreachable this run)",
-            "vs_baseline": None,
-        }), flush=True)
-
-    threads = min(8, os.cpu_count() or 1)
     mp = MapParams(
         ref_sequences=[LPA], query_sequences=[LPA],
         percentage_identity=0.80, auto_pct_identity=False,
         num_mappings_for_segment=5, threads=threads,
     ).finalize()
-
     t0 = time.time()
     buf = io.StringIO()
     run_mapping(mp, buf)
@@ -139,66 +212,130 @@ def main() -> None:
     map_paf = "/tmp/wfmash-tpu-bench-map.paf"
     with open(map_paf, "w") as fh:
         fh.write(buf.getvalue())
-    n_rows = buf.getvalue().count("\n")
-    log(f"[bench] mapping: {n_rows} records in {map_wall:.2f}s")
 
-    # finalize() applies the reference's padding rules (min(w, 5000) per
-    # side, parse_args.hpp:593-621) — benchmarking unpadded records
+    # finalize() applies the reference's padding rules (min(w, 5000)
+    # per side, parse_args.hpp:593-621) — benchmarking unpadded records
     # would understate the align work vs the reference's own runs
     ap = AlignParams(
         ref_sequences=[LPA], query_sequences=[LPA],
         mashmap_paf_file=map_paf, threads=threads,
     ).finalize(mp.window_length)
-
     t0 = time.time()
-    out1 = io.StringIO()
-    run_alignment(ap, out1)
-    log(f"[bench] align warm-up (incl. compiles): {time.time() - t0:.1f}s")
-
-    perf.reset()
-    t0 = time.time()
-    out2 = io.StringIO()
-    run_alignment(ap, out2)
+    out = io.StringIO()
+    run_alignment(ap, out)
     align_wall = time.time() - t0
-    n_aligned = out2.getvalue().count("\n")
-    log(f"[bench] align warm: {n_aligned} records in {align_wall:.2f}s")
-    assert out1.getvalue() == out2.getvalue(), "non-deterministic output"
-    assert n_aligned > 2000, "suspiciously few aligned records"
+    return map_wall, align_wall, out.getvalue().count("\n"), out.getvalue()
+
+
+def main() -> None:
+    from wfmash_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    from wfmash_tpu.utils import perf
+
+    threads = min(8, os.cpu_count() or 1)
+
+    # subprocess-guarded probe FIRST: a dead tunnel degrades the whole
+    # bench to the host paths instead of hanging device init
+    rtt = probe_rtt()
+    log(f"[bench] device RTT: {rtt:.1f} ms")
+
+    # -- device metrics (own subprocesses, retried) -----------------------
+    if rtt != float("inf"):
+        sweep = device_metric(_SWEEP_SRC)
+        segk = device_metric(_SEGK_SRC)
+    else:
+        log("[bench] device unreachable; device metrics null this run")
+        sweep = segk = None
+    if sweep:
+        emit("wfa_sweep_throughput", round(sweep["gcells"], 4),
+             "Gcells/s/chip", round(sweep["gcells"] / 10.0, 4))
+    else:
+        emit("wfa_sweep_throughput", None,
+             "Gcells/s/chip (device unreachable this run)", None)
+    if segk:
+        mfu = segk["gcells"] / ROOFLINE_GCELLS
+        emit("seg_kernel_throughput", round(segk["gcells"], 4),
+             f"Gcells/s/chip on 4096 anchored segments "
+             f"({segk['mbp_s']:.2f} Mbp/s; MFU {mfu:.4f} vs "
+             f"{ROOFLINE_GCELLS:.0f} Gcells/s VPU roofline, "
+             f"see ARCHITECTURE.md)",
+             round(mfu, 5), mfu=round(mfu, 5),
+             mbp_per_s=round(segk["mbp_s"], 3))
+    else:
+        emit("seg_kernel_throughput", None,
+             "Gcells/s/chip (device unreachable this run)", None)
+
+    # -- warm pass (absorbs native-lib builds / any compiles) -------------
+    mw, aw, n_rows, out0 = run_e2e_once(threads)
+    log(f"[bench] warm pass: map {mw:.2f}s + align {aw:.2f}s, "
+        f"{n_rows} records")
+    assert n_rows > 2000, "suspiciously few aligned records"
+
+    # -- measured repeats (median + band) ---------------------------------
+    reps = int(os.environ.get("WFMASH_TPU_BENCH_REPS", "3"))
+    totals, walls = [], []
+    perf.reset()
+    for r in range(reps):
+        mw, aw, n, out_r = run_e2e_once(threads)
+        assert out_r == out0, "non-deterministic output"
+        totals.append(mw + aw)
+        walls.append((mw, aw))
+        log(f"[bench] repeat {r + 1}/{reps}: map {mw:.2f}s + "
+            f"align {aw:.2f}s = {mw + aw:.2f}s")
+    med = statistics.median(totals)
+    band = f"{min(totals):.2f}..{max(totals):.2f}"
 
     device_s = perf.get("align.device_s")
-    busy = device_s / align_wall if align_wall > 0 else 0.0
-    log(f"[bench] device busy: {device_s:.2f}s of {align_wall:.2f}s align "
-        f"wall ({perf.get('align.device_calls'):.0f} kernel batches)")
-    unit = "device wall / align wall (warm pass)"
+    align_total = sum(a for _, a in walls)
+    busy = device_s / align_total if align_total > 0 else 0.0
+    unit = "device wall / align wall (measured repeats)"
     if device_s == 0:
         unit += (" — latency-aware backend chose the native host engine"
                  " (device RTT %s)" % ("inf" if rtt == float("inf")
                                        else f"{rtt:.0f} ms"))
-    print(json.dumps({
-        "metric": "align_device_busy_fraction",
-        "value": round(busy, 4),
-        "unit": unit,
-        "vs_baseline": round(busy / 0.5, 4),   # VERDICT target: >= 0.5
-    }), flush=True)
+    emit("align_device_busy_fraction", round(busy, 4), unit,
+         round(busy / 0.5, 4))
+
+    # -- exact-vs-exact (CPU seconds against the reference's 42.3 s user) -
+    env = dict(os.environ, WFMASH_TPU_HOST_SCORE_CAP="0")
+    env.setdefault("PYTHONPATH", "/root/repo")
+    exact_cpu = None
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import time, io, sys\n"
+             "sys.path.insert(0, '/root/repo')\n"
+             "import bench\n"
+             "t0 = time.process_time()\n"
+             "bench.run_e2e_once(1)\n"
+             "print('CPU=%.2f' % (time.process_time() - t0))\n"],
+            capture_output=True, text=True, timeout=900, env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU="):
+                exact_cpu = float(line[4:])
+    except subprocess.TimeoutExpired:
+        log("[bench] exact-mode run timed out")
+    if exact_cpu is not None:
+        emit("lpa_exact_align_cpu", round(exact_cpu, 2),
+             "CPU-s, exact mode (HOST_SCORE_CAP=0) map+align, one core "
+             "(reference exact default: 42.3 CPU-s user on 8 cores)",
+             round(BASELINE_USER / exact_cpu, 4))
+    else:
+        emit("lpa_exact_align_cpu", None, "CPU-s (run failed)", None)
 
     try:
-        os.unlink(map_paf)
+        os.unlink("/tmp/wfmash-tpu-bench-map.paf")
     except OSError:
         pass
 
-    value = map_wall + align_wall
     cores = os.cpu_count() or 1
-    print(json.dumps({
-        "metric": "lpa_allvsall_e2e_warm_wall",
-        "value": round(value, 2),
-        "unit": "s (map+align, lower is better)",
-        "vs_baseline": round(BASELINE_WALL / value, 4),
-        # the reference wall is an 8-core number (42.3 s user); the
-        # per-core comparison is our wall*cores vs their user time
-        "vs_baseline_user_percore": round(
-            BASELINE_USER / (value * cores), 4),
-        "cores": cores,
-    }), flush=True)
+    emit("lpa_allvsall_e2e_warm_wall", round(med, 2),
+         f"s (map+align, median of {reps} interleaved repeats, "
+         f"band {band}, lower is better)",
+         round(BASELINE_WALL / med, 4),
+         vs_baseline_user_percore=round(BASELINE_USER / (med * cores), 4),
+         cores=cores, band=band)
 
 
 if __name__ == "__main__":
