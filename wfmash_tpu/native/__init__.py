@@ -931,7 +931,7 @@ def segsolve_phase_times():
     lib.segsolve_phase_times(_ptr(buf))
     keys = ("exact_s", "probe_fail_s", "plan_s", "place_s", "piece_s",
             "n_exact", "n_seg", "n_pieces", "n_diag_fast", "n_capped",
-            "piece_bp", "sum_score2", "call_s", "r13", "r14", "r15")
+            "piece_bp", "sum_score2", "call_s", "codes_s", "join_s", "lis_sort_s")
     return dict(zip(keys, buf.tolist()))
 
 

@@ -8,7 +8,18 @@
 #include <algorithm>
 #include <array>
 #include <cstdint>
+#include <ctime>
 #include <vector>
+
+// Fine-grained plan timing (diagnostic; read via segsolve_phase_times
+// slots 13-15 when compiled into _segsolve.so): 13 codes_s, 14 join_s,
+// 15 lis_s.
+thread_local double g_anchor_prof[3] = {0};
+static inline double anchors_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
 
 extern "C" {
 
@@ -101,21 +112,26 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
     const int64_t qstride =
         (max_occ == 1 && qlen > 16384) ? 4 : 1;
     std::vector<CP> qc, tc;
+    double tp0 = anchors_now();
     codes_of(q, qlen, qstride, qc);
     codes_of(t, tlen, 1, tc);
+    g_anchor_prof[0] += anchors_now() - tp0;
     if (qc.empty() || tc.empty()) return;
+    tp0 = anchors_now();
     std::vector<CP> pairs;   // code field reused as qpos; pos = tpos
+    bool presorted = false;  // pair stream already lexsorted by (q,t)
+    constexpr uint64_t MUL = 0x9E3779B97F4A7C15ull;
+    constexpr size_t PF = 8;  // software-prefetch distance: the join
+    // tables exceed L2, so every probe was a cache miss — prefetching
+    // the home slot ~8 probes ahead hides most of that latency
     if (max_occ == 1) {
-        // unique-anchor path: open-addressing hash join (the two code
-        // sorts were the planning profile's hotspot). Pair order is
-        // irrelevant here — no max_pairs cut applies to unique matches
-        // and pairs are re-sorted by (qpos, tpos) below — so results
-        // are identical to the sort-merge path.
+        // unique-anchor path: open-addressing hash join with compact
+        // 24-byte slots (counts saturate at 255 — only ==1 is tested)
         struct Slot {
-            uint32_t epoch = 0;
-            int32_t qn = 0, tn = 0;
-            uint64_t code = 0;
-            int64_t qpos = 0, tpos = 0;
+            uint64_t code;
+            uint32_t epoch;
+            uint8_t qn, tn;
+            int32_t qpos, tpos;
         };
         static thread_local std::vector<Slot> table;
         static thread_local uint32_t epoch = 0;
@@ -128,7 +144,7 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
         epoch++;
         const size_t msk = table.size() - 1;
         auto slot_of = [&](uint64_t code) -> Slot& {
-            size_t h = (size_t)(code * 0x9E3779B97F4A7C15ull) & msk;
+            size_t h = (size_t)(code * MUL) & msk;
             for (;;) {
                 Slot& s = table[h];
                 if (s.epoch != epoch) {
@@ -141,34 +157,47 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
                 h = (h + 1) & msk;
             }
         };
-        for (const CP& e : qc) {
-            Slot& s = slot_of(e.code);
-            s.qn++;
-            s.qpos = e.pos;
+        auto pf = [&](const std::vector<CP>& v, size_t i) {
+            if (i + PF < v.size())
+                __builtin_prefetch(
+                    &table[(size_t)(v[i + PF].code * MUL) & msk]);
+        };
+        for (size_t i = 0; i < qc.size(); i++) {
+            pf(qc, i);
+            Slot& s = slot_of(qc[i].code);
+            if (s.qn != 255) s.qn++;
+            s.qpos = (int32_t)qc[i].pos;
         }
-        std::vector<Slot*> touched;
-        for (const CP& e : tc) {
-            Slot& s = slot_of(e.code);
+        for (size_t i = 0; i < tc.size(); i++) {
+            pf(tc, i);
+            Slot& s = slot_of(tc[i].code);
             if (s.qn == 0) continue;   // only track codes seen in q
-            s.tn++;
-            if (s.tn == 1 && s.qn == 1) touched.push_back(&s);
-            s.tpos = e.pos;
+            if (s.tn != 255) s.tn++;
+            s.tpos = (int32_t)tc[i].pos;
         }
-        for (Slot* s : touched)
-            if (s->qn == 1 && s->tn == 1)
-                pairs.push_back({(uint64_t)s->qpos, s->tpos});
+        // emit by walking qc in POSITION order: each unique code has
+        // exactly one qpos, so the stream comes out already lexsorted
+        // by (qpos, tpos) — the global pair sort vanishes
+        for (size_t i = 0; i < qc.size(); i++) {
+            pf(qc, i);
+            Slot& s = slot_of(qc[i].code);
+            if (s.qn == 1 && s.tn == 1)
+                pairs.push_back({(uint64_t)s.qpos, s.tpos});
+        }
+        presorted = true;
     } else {
         // rare-kmer hash join: count per-code occurrences and chain up
         // to max_occ positions per side; when the total cartesian pair
         // count stays <= max_pairs the Python spec's mid-stream cutoff
-        // can never trigger, so pair order is irrelevant (the lexsort
-        // below canonicalizes it) and the two code sorts are avoided —
-        // the planning ladder's hottest cost on divergent blocks.
+        // can never trigger, so any emission order that ends up
+        // lexsorted is identical — walking qc in position order (each
+        // code's tpos chain ascending) gives that directly and the
+        // global pair sort vanishes.
         struct RSlot {
-            uint32_t epoch = 0;
-            int32_t qn = 0, tn = 0;
-            uint64_t code = 0;
-            int32_t qhead = -1, thead = -1;
+            uint64_t code;
+            uint32_t epoch;
+            uint8_t qn, tn;       // saturate at 255 (max_occ <= 64)
+            int32_t qhead, thead;
         };
         static thread_local std::vector<RSlot> rtable;
         static thread_local uint32_t repoch = 0;
@@ -181,7 +210,7 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
         repoch++;
         const size_t rmsk = rtable.size() - 1;
         auto rslot_of = [&](uint64_t code) -> RSlot& {
-            size_t h = (size_t)(code * 0x9E3779B97F4A7C15ull) & rmsk;
+            size_t h = (size_t)(code * MUL) & rmsk;
             for (;;) {
                 RSlot& s = rtable[h];
                 if (s.epoch != repoch) {
@@ -195,22 +224,31 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
                 h = (h + 1) & rmsk;
             }
         };
+        auto rpf = [&](const std::vector<CP>& v, size_t i) {
+            if (i + PF < v.size())
+                __builtin_prefetch(
+                    &rtable[(size_t)(v[i + PF].code * MUL) & rmsk]);
+        };
         // position chains: (pos, next-index); heads live in the slots
         std::vector<std::pair<int64_t, int32_t>> qch, tch;
         qch.reserve(qc.size());
         std::vector<RSlot*> touched;
-        for (const CP& e : qc) {
+        for (size_t i = 0; i < qc.size(); i++) {
+            rpf(qc, i);
+            const CP& e = qc[i];
             RSlot& s = rslot_of(e.code);
-            s.qn++;
+            if (s.qn != 255) s.qn++;
             if (s.qn <= max_occ) {
                 qch.push_back({e.pos, s.qhead});
                 s.qhead = (int32_t)qch.size() - 1;
             }
         }
-        for (const CP& e : tc) {
+        for (size_t i = 0; i < tc.size(); i++) {
+            rpf(tc, i);
+            const CP& e = tc[i];
             RSlot& s = rslot_of(e.code);
             if (s.qn == 0) continue;
-            s.tn++;
+            if (s.tn != 255) s.tn++;
             if (s.tn == 1) touched.push_back(&s);
             if (s.tn <= max_occ) {
                 tch.push_back({e.pos, s.thead});
@@ -221,16 +259,25 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
         for (RSlot* s : touched)
             if (s->qn <= max_occ && s->tn <= max_occ)
                 total += (int64_t)s->qn * s->tn;
-        if (total <= max_pairs) {
+        if (total <= max_pairs && max_occ <= 64) {  // trev bound
+            // under the cap: walk qc in position order (qpos strictly
+            // ascending across entries) and list each code's tpos
+            // chain ascending — already lexsorted, sort skipped
             pairs.reserve((size_t)total);
-            for (RSlot* s : touched) {
-                if (s->qn > max_occ || s->tn > max_occ) continue;
-                for (int32_t qi = s->qhead; qi >= 0; qi = qch[qi].second)
-                    for (int32_t ti = s->thead; ti >= 0;
-                         ti = tch[ti].second)
-                        pairs.push_back(
-                            {(uint64_t)qch[qi].first, tch[ti].first});
+            int64_t trev[64];
+            for (size_t i = 0; i < qc.size(); i++) {
+                rpf(qc, i);
+                RSlot& s = rslot_of(qc[i].code);
+                if (s.qn == 0 || s.qn > max_occ || s.tn == 0 ||
+                    s.tn > max_occ)
+                    continue;
+                int nrev = 0;
+                for (int32_t ti = s.thead; ti >= 0; ti = tch[ti].second)
+                    trev[nrev++] = tch[ti].first;  // descending tpos
+                for (int a2 = nrev - 1; a2 >= 0; a2--)
+                    pairs.push_back({(uint64_t)qc[i].pos, trev[a2]});
             }
+            presorted = true;
         } else {
             // over-cap: the spec's mid-stream cutoff order matters —
             // code-sorted path
@@ -269,15 +316,22 @@ static void find_anchors_impl(const uint8_t* q, int64_t qlen,
             }
         }
     }
+    g_anchor_prof[1] += anchors_now() - tp0;
     if (pairs.empty()) return;
-    // lexsort by (qpos, tpos)
-    std::sort(pairs.begin(), pairs.end(), [](const CP& a, const CP& b) {
-        return a.code != b.code ? a.code < b.code : a.pos < b.pos;
-    });
+    tp0 = anchors_now();
+    // lexsort by (qpos, tpos) — skipped when the join emitted the
+    // stream already lexsorted (the common paths above)
+    if (!presorted)
+        std::sort(pairs.begin(), pairs.end(),
+                  [](const CP& a, const CP& b) {
+                      return a.code != b.code ? a.code < b.code
+                                              : a.pos < b.pos;
+                  });
     int64_t n = (int64_t)pairs.size();
     std::vector<int64_t> tpos_v(n), kept(n);
     for (int64_t a = 0; a < n; a++) tpos_v[a] = pairs[a].pos;
     int64_t m = lis_chain(tpos_v.data(), n, kept.data());
+    g_anchor_prof[2] += anchors_now() - tp0;
     // strict-monotone qpos filter
     int64_t last_q = -1;
     for (int64_t a = 0; a < m; a++) {

@@ -471,9 +471,13 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
 // out must hold 8 doubles. Diagnostic only — used by the perf report
 // (WFMASH_TPU_PERF) and bench.py's phase table.
 void segsolve_phase_times(double* out8) {
-    for (int i = 0; i < 16; i++) {
+    for (int i = 0; i < 13; i++) {
         out8[i] = segsolve::g_phase[i];
         segsolve::g_phase[i] = 0;
+    }
+    for (int i = 0; i < 3; i++) {
+        out8[13 + i] = g_anchor_prof[i];
+        g_anchor_prof[i] = 0;
     }
 }
 
