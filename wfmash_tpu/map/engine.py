@@ -77,6 +77,7 @@ class Mapper:
         self._len_arr = np.asarray(id_manager.lengths, dtype=np.int64)
         self.device_l1 = None     # optional map/l1_device.py backend
         self.device_l2 = None     # optional map/l2_device.py backend
+        self._l2_gate_cache: dict = {}   # see _l2_gate
 
         if params.stage1_topANI_filter:
             self.sketch_cutoffs = stats.compute_sketch_cutoffs(
@@ -291,6 +292,12 @@ class Mapper:
                      for (a, bb, c, d, ee, f) in r]
                     for r in rows]
 
+        # the identity gate and its scaled value depend only on
+        # (shared_sketch_size, sketch_size) for fixed params — memoized
+        # (the float32 chains were ~15us per L2 result; bit-identical)
+        q_start = frag_index * p.window_length
+        scaled_c = scale_complexity(sketch.kmer_complexity)
+        gate = self._l2_gate
         for ci, cand in enumerate(sel):
             l2s = of_cand.get(id(cand))
             if l2s is None and l2s_of is not None:
@@ -299,43 +306,58 @@ class Mapper:
                 l2s = compute_l2_mapped_regions(sketch, q_len, cand,
                                                 index, p)
             for l2 in l2s:
-                mash_dist = stats.j2md(
-                    float(np.float32(1.0 * l2.shared_sketch_size / sketch.sketch_size)),
-                    p.kmer_size,
-                )
-                nuc_identity = float(np.float32(1.0 - float(np.float32(mash_dist))))
-                nuc_id_ub = float(
-                    np.float32(
-                        1.0
-                        - float(
-                            np.float32(
-                                stats.md_lower_bound(
-                                    mash_dist, sketch.sketch_size, p.kmer_size,
-                                    fixed.confidence_interval,
-                                )
-                            )
-                        )
-                    )
-                )
-                if (
-                    p.keep_low_pct_id
-                    and np.float32(nuc_id_ub) >= np.float32(p.percentage_identity)
-                ) or np.float32(nuc_identity) >= np.float32(p.percentage_identity):
+                keep, scaled_id = gate(l2.shared_sketch_size,
+                                       sketch.sketch_size)
+                if keep:
                     flags = FLAG_REV if l2.strand == STRAND_REV else 0
                     out.append(
                         (
                             l2.seq_id,
                             l2.mean_optimal_pos,
-                            frag_index * p.window_length,  # query start
+                            q_start,
                             q_len,
                             1,
                             l2.shared_sketch_size,
-                            scale_identity(nuc_identity),
+                            scaled_id,
                             flags,
-                            scale_complexity(sketch.kmer_complexity),
+                            scaled_c,
                         )
                     )
         return out
+
+    def _l2_gate(self, shared: int, ssize: int):
+        """Memoized identity gate + scaled identity for one L2 result
+        (the float32 chains of computeMap.hpp:1016-1048, verbatim)."""
+        key = (shared, ssize)
+        got = self._l2_gate_cache.get(key)
+        if got is not None:
+            return got
+        p = self.params
+        mash_dist = stats.j2md(
+            float(np.float32(1.0 * shared / ssize)), p.kmer_size)
+        nuc_identity = float(np.float32(1.0 - float(np.float32(mash_dist))))
+        nuc_id_ub = float(
+            np.float32(
+                1.0
+                - float(
+                    np.float32(
+                        stats.md_lower_bound(
+                            mash_dist, ssize, p.kmer_size,
+                            fixed.confidence_interval,
+                        )
+                    )
+                )
+            )
+        )
+        keep = bool(
+            (
+                p.keep_low_pct_id
+                and np.float32(nuc_id_ub) >= np.float32(p.percentage_identity)
+            ) or np.float32(nuc_identity) >= np.float32(p.percentage_identity)
+        )
+        got = (keep, scale_identity(nuc_identity))
+        self._l2_gate_cache[key] = got
+        return got
 
     def _fragments(self, seq: bytes):
         """(frag_index, frag_seq) pairs: w-length windows + the w-length
