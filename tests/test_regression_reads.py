@@ -163,18 +163,56 @@ def test_reads_255bps_golden_field_level():
             assert mf[0] == f[0] and mf[5] == f[5]          # names
             assert mf[1] == f[1] and mf[6] == f[6]          # lengths
             assert mf[4] == strand                          # strand
-            # the golden's mapping era fragments/extends differently
-            # (per-200bp fragments, ends-free tail extension): require
-            # >= 65% span overlap on both axes (the old binary force-extends
-            # to read ends, aligning ~24bp of junk this path declines)
-            for lo, hi in ((2, 3), (7, 8)):
-                a0, a1 = int(mf[lo]), int(mf[hi])
-                b0, b1 = int(f[lo]), int(f[hi])
-                inter = min(a1, b1) - max(a0, b0)
-                assert inter >= 0.65 * (b1 - b0), (q, t, lo, a0, a1, b0, b1)
+            # content check (VERDICT round-3 #8, replacing the old
+            # >=65% span-overlap excuse): >=95% of the golden row's
+            # aligned base pairs must be reproduced at IDENTICAL
+            # (query,ref) coordinates (measured 0.956-0.996 per row;
+            # the residue is the old binary's force-extended junk ends
+            # — every golden CIGAR here starts/ends with a pure-indel
+            # run — plus +-1-column WFA tie-break shifts), and our
+            # span must CONTAIN the golden's solid-anchor hull (match
+            # runs >= 8 bp) exactly — the golden's mapping era used
+            # 200 bp force-extended fragments while the live path
+            # covers the full homology, so ours is a superset.
+            g_q0 = int(f[2]) if strand == "+" else int(f[1]) - int(f[3])
+            gold_pairs = _aligned_pairs(ops, g_q0, int(f[7]))
+            m_q0 = (int(mf[2]) if mf[4] == "+"
+                    else int(mf[1]) - int(mf[3]))
+            my_pairs = _aligned_pairs(C.parse(mcg), m_q0, int(mf[7]))
+            frac = len(gold_pairs & my_pairs) / len(gold_pairs)
+            assert frac >= 0.95, (q, t, frac)
+            # solid hull: coordinates inside >=8bp '=' runs
+            solid = _solid_hull(ops, g_q0, int(f[7]))
+            if solid is not None:
+                (sq0, sq1), (st0, st1) = solid
+                assert m_q0 <= sq0 and sq1 <= m_q0 + sum(
+                    nn for nn, op in C.parse(mcg) if op in "=XI"), \
+                    (q, t, "query hull", sq0, sq1, m_q0)
+                assert int(mf[7]) <= st0 and st1 <= int(mf[8]), \
+                    (q, t, "target hull", st0, st1, mf[7], mf[8])
         assert abs(mgi - gi) <= 0.03, (q, t, mgi, gi)
         n_rows += 1
     assert n_rows == 4
+
+
+def _solid_hull(ops, q0, r0):
+    """(qmin,qmax),(rmin,rmax) over '='-runs of >= 8 bp, or None."""
+    q, r = q0, r0
+    qs, rs = [], []
+    for n, op in ops:
+        if op == "=" and n >= 8:
+            qs += [q, q + n]
+            rs += [r, r + n]
+        if op in "=X":
+            q += n
+            r += n
+        elif op == "I":
+            q += n
+        elif op == "D":
+            r += n
+    if not qs:
+        return None
+    return (min(qs), max(qs)), (min(rs), max(rs))
 
 
 READS500 = "/root/reference/data/reads.500bps.fa.gz"
