@@ -32,6 +32,11 @@
 #include <ctime>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512CD__)
+#include <immintrin.h>
+#define WFA_SIMD_EXTEND 1
+#endif
+
 namespace {
 
 // Env-gated (WFMASH_TPU_WFA_PROF=1) inner-loop accumulators for the
@@ -505,7 +510,99 @@ int64_t wfa_align_impl(const uint8_t *q, int64_t m, const uint8_t *t,
                 i1 = m_khi - lo + 1 > 0 ? m_khi - lo + 1 : 0;
             for (int64_t i = 0; i < i0; i++) L.M[i] = NEG;
             for (int64_t i = i1; i < nk; i++) L.M[i] = NEG;
-            for (int64_t i = i0; i < i1; i++) {
+            int64_t i = i0;
+#if WFA_SIMD_EXTEND
+            // Gather-vectorized first-dword extension: at divergent
+            // score levels most lanes have LCP < 4, so one pair of
+            // 16-lane dword gathers + xor/ctz resolves them without
+            // any scalar memory access; only >=4-byte runs and
+            // near-boundary lanes fall back to the scalar extend.
+            // Values are bit-identical (same LCP arithmetic).
+            if (m < INT32_MAX / 2 && n < INT32_MAX / 2) {
+                const __m512i vneg32 = _mm512_set1_epi32((int32_t)NEG);
+                const __m512i vzero = _mm512_setzero_si512();
+                const __m512i vlane =
+                    _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                      11, 12, 13, 14, 15);
+                const __m512i vm4 =
+                    _mm512_set1_epi32((int32_t)m - 4);
+                const __m512i vn4 =
+                    _mm512_set1_epi32((int32_t)n - 4);
+                const __m512i vm = _mm512_set1_epi32((int32_t)m);
+                const __m512i vn = _mm512_set1_epi32((int32_t)n);
+                alignas(64) int32_t hbuf[16], vbuf[16], obuf[16];
+                for (; i + 16 <= i1; i += 16) {
+                    __m512i b32;
+                    if (sizeof(T) == 2)
+                        b32 = _mm512_cvtepi16_epi32(
+                            _mm256_loadu_si256(
+                                (const __m256i *)(best + i)));
+                    else
+                        b32 = _mm512_loadu_si512(
+                            (const void *)(best + i));
+                    __mmask16 alive =
+                        _mm512_cmpgt_epi32_mask(b32, vneg32);
+                    const __m512i k32 = _mm512_add_epi32(
+                        _mm512_set1_epi32((int32_t)(lo + i)), vlane);
+                    const __m512i h32 = b32;
+                    const __m512i v32 = _mm512_sub_epi32(h32, k32);
+                    alive = _mm512_mask_cmpge_epi32_mask(alive, h32,
+                                                         vzero);
+                    alive = _mm512_mask_cmple_epi32_mask(alive, h32,
+                                                         vm);
+                    alive = _mm512_mask_cmpge_epi32_mask(alive, v32,
+                                                         vzero);
+                    alive = _mm512_mask_cmple_epi32_mask(alive, v32,
+                                                         vn);
+                    // lanes whose 4-byte window stays in bounds
+                    __mmask16 safe =
+                        _mm512_mask_cmple_epi32_mask(alive, h32, vm4);
+                    safe = _mm512_mask_cmple_epi32_mask(safe, v32,
+                                                        vn4);
+                    __m512i qd = _mm512_mask_i32gather_epi32(
+                        vzero, safe, h32, q, 1);
+                    __m512i td = _mm512_mask_i32gather_epi32(
+                        vzero, safe, v32, t, 1);
+                    const __m512i x32 = _mm512_xor_si512(qd, td);
+                    const __mmask16 diff =
+                        _mm512_mask_test_epi32_mask(safe, x32, x32);
+                    // lcp = ctz(x)>>3 via blsi + lzcnt
+                    const __m512i blsi = _mm512_and_si512(
+                        x32, _mm512_sub_epi32(vzero, x32));
+                    const __m512i tz = _mm512_sub_epi32(
+                        _mm512_set1_epi32(31),
+                        _mm512_lzcnt_epi32(blsi));
+                    const __m512i lcp = _mm512_srli_epi32(tz, 3);
+                    __m512i res = _mm512_mask_add_epi32(
+                        vneg32, diff, h32, lcp);
+                    _mm512_store_si512((void *)obuf, res);
+                    // scalar continuation for the leftovers: alive
+                    // but either window-unsafe or >=4 bytes matched
+                    __mmask16 rest = alive & ~diff;
+                    if (rest) {
+                        _mm512_store_si512((void *)hbuf, h32);
+                        _mm512_store_si512((void *)vbuf, v32);
+                        unsigned r = rest;
+                        while (r) {
+                            const int j = __builtin_ctz(r);
+                            r &= r - 1;
+                            const int64_t h = hbuf[j], v = vbuf[j];
+                            if (safe & (1u << j))   // >=4 matched
+                                obuf[j] = (int32_t)(h + 4 +
+                                                    extend(h + 4,
+                                                           v + 4));
+                            else
+                                obuf[j] = (int32_t)(h + extend(h, v));
+                        }
+                    }
+                    for (int j = 0; j < 16; j++)
+                        L.M[i + j] = (alive & (1u << j))
+                                         ? (T)obuf[j]
+                                         : NEG;
+                }
+            }
+#endif
+            for (; i < i1; i++) {
                 T b = best[i];
                 if (b <= NEG) {
                     L.M[i] = NEG;
