@@ -772,24 +772,40 @@ class TieredSegmentSolver:
 
     def __init__(self, penalties: Penalties, interpret: bool = False,
                  mesh=None):
+        import os as _os
+
+        # Launch collapse (VERDICT round-3 #4): the grid (groups) axis
+        # is SEQUENTIAL on device — one group's state in VMEM at a time
+        # — so scaling it up multiplies problems per dispatch at no
+        # VMEM cost. Each scale is one extra Mosaic compile shape per
+        # tier (the axon tunnel compiles per shape, 30-400 s first
+        # time), so the default stays 1; deployments with local chips
+        # set WFMASH_TPU_SEG_GROUPS_SCALE=8 to cut the LPA align path
+        # from ~50 dispatches to ~7 (launch table: ARCHITECTURE.md).
+        gs = max(1, int(_os.environ.get(
+            "WFMASH_TPU_SEG_GROUPS_SCALE", "1")))
         self.p = penalties
         self.t1 = SegmentSolver(penalties, interpret, PB=64, K=128,
-                                smax=128, lseg=512, groups=64, mesh=mesh)
+                                smax=128, lseg=512, groups=64 * gs,
+                                mesh=mesh)
         self.t2 = SegmentSolver(penalties, interpret, PB=16, K=256,
-                                smax=384, lseg=512, groups=64, mesh=mesh)
+                                smax=384, lseg=512, groups=64 * gs,
+                                mesh=mesh)
         self.t3 = SegmentSolver(penalties, interpret, PB=16, K=512,
-                                smax=768, lseg=2048, groups=32, mesh=mesh)
+                                smax=768, lseg=2048, groups=32 * gs,
+                                mesh=mesh)
         # tier 4 — the deep-patch tier: K=1024 doubles the certificate
         # bound (gap_cost(512) = 536) and lseg=4224 admits full-size
         # boundary-patch erodes (<= 4096 a side, wflign.cpp:240-418);
         # smax=512 caps the sweep — ~80 MiB of VMEM history
         self.t4 = SegmentSolver(penalties, interpret, PB=16, K=1024,
-                                smax=512, lseg=4224, groups=16, mesh=mesh)
+                                smax=512, lseg=4224, groups=16 * gs,
+                                mesh=mesh)
         # tier 5 — deep-divergence: unanchorable <=1 kb pieces (no
         # 13-mer chain at 25-40% divergence) sweep to smax=1536 in a
         # narrow band; ~63 MiB of history
         self.t5 = SegmentSolver(penalties, interpret, PB=16, K=256,
-                                smax=2048, lseg=2048, groups=32,
+                                smax=2048, lseg=2048, groups=32 * gs,
                                 mesh=mesh)
         self.tiers = (self.t1, self.t2, self.t3, self.t4, self.t5)
         self.lseg = self.t4.lseg
