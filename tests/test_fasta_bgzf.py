@@ -130,3 +130,29 @@ def test_bgzf_fork_safe(tmp_path):
     got = q.get(timeout=30)
     p.join()
     assert got == seqs["s1"][50_000:50_100]
+
+
+def test_plain_gzip_spools_to_disk(tmp_path):
+    """Non-BGZF gzip: stream-decompressed to an unlinked temp spool and
+    mmap'd (bounded RAM) — byte-equal to the plain-file reader."""
+    import gzip as _gzip
+    import mmap as _mmap
+
+    rng = np.random.default_rng(5)
+    seqs = {"s1": random_seq(rng, 70001), "s2": random_seq(rng, 12345)}
+    buf = bytearray()
+    fai = []
+    for name, seq in seqs.items():
+        buf += f">{name}\n".encode()
+        off = len(buf)
+        for i in range(0, len(seq), 60):
+            buf += seq[i:i + 60] + b"\n"
+        fai.append(f"{name}\t{len(seq)}\t{off}\t60\t61")
+    path = tmp_path / "plain.fa.gz"
+    path.write_bytes(_gzip.compress(bytes(buf)))   # NOT BGZF
+    (tmp_path / "plain.fa.gz.fai").write_text("\n".join(fai) + "\n")
+    r = FastaReader(str(path))
+    assert r.fetch("s1", 100, 199) == seqs["s1"][100:200]
+    assert r.fetch("s2") == seqs["s2"]
+    assert r._kind == "gzip"
+    assert isinstance(r._data, _mmap.mmap)

@@ -13,8 +13,10 @@ Host-side equivalent of wfmash's faigz wrapper over htslib faidx
   or a one-time header scan otherwise, and fetches decompress ONLY the
   touched 64 KB blocks through a bounded LRU cache — peak memory is
   independent of genome size. Plain files are mmap'd (shared, read-only
-  across fork children). Non-BGZF gzip (no block structure) falls back
-  to whole-file decompression.
+  across fork children). Non-BGZF gzip (no block structure) is
+  stream-decompressed once into an unlinked temp file and mmap'd, so
+  residency stays page-cache-managed instead of pinning the genome in
+  RAM.
 
 Sequences are served as raw bytes (no normalization); uppercase + non-ACGT→N
 normalization happens in the sketching layer exactly where the reference does
@@ -205,7 +207,8 @@ class FastaReader:
         self.path = path
         self.records = read_fai(fai_path)
         self._by_name = {r.name: r for r in self.records}
-        self._data: bytes | None = None
+        self._data = None          # bytes or mmap (gzip temp spool)
+        self._gzip_tmp = None
         self._bgzf: _BgzfData | None = None
         self._mmap = None
         self._mmap_pid = -1
@@ -237,9 +240,25 @@ class FastaReader:
                 self._bgzf = _BgzfData(self.path, blocks)
                 self._kind = "bgzf"
             else:
-                # plain multi-member gzip: no random access structure
-                with open(self.path, "rb") as fh:
-                    self._data = gzip.decompress(fh.read())
+                # plain (non-BGZF) gzip has no random-access structure:
+                # stream-decompress ONCE into an unlinked temp file and
+                # mmap it — residency is page-cache-managed instead of
+                # pinning the whole genome in RAM (faigz requires BGZF
+                # for this case outright; we degrade gracefully)
+                import tempfile
+
+                tmp = tempfile.TemporaryFile(
+                    prefix="wfmash-tpu-gunzip-")
+                with gzip.open(self.path, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 22)
+                        if not chunk:
+                            break
+                        tmp.write(chunk)
+                tmp.flush()
+                self._gzip_tmp = tmp       # keep fd alive for the mmap
+                self._data = mmap.mmap(tmp.fileno(), 0,
+                                       access=mmap.ACCESS_READ)
                 self._kind = "gzip"
         else:
             self._kind = "plain"
