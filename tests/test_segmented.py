@@ -274,3 +274,48 @@ def test_fast_head_patch_score_identical():
         q_skip, t_skip = len(q) - q_len, len(t) - ref_len
         assert 0 <= q_skip <= qb and 0 <= t_skip <= tb, (i, q_skip, t_skip)
         assert C.validate(ops, q, t, q_skip, t_skip), i
+
+
+def test_host_small_routing_bit_identical(monkeypatch):
+    """WFMASH_TPU_SEG_HOST_SMALL=1 (native batch for ends-free patches,
+    escalations, inversion tries) must produce byte-identical CIGARs and
+    identical inversion records vs =0 (everything through the device
+    solver) — the routing is a latency policy, not a semantics change."""
+    from wfmash_tpu.align.wfa_np import EndsFree
+    from wfmash_tpu.native import get_wfa_lib
+
+    if get_wfa_lib() is None:
+        import pytest
+
+        pytest.skip("native WFA lib unavailable")
+    rng = np.random.default_rng(7)
+    t1 = random_dna(rng, 3000)
+    q1 = mutate(rng, t1, 0.06)
+    # block with an inversion candidate: reverse-complement a middle span
+    t2 = bytearray(random_dna(rng, 2600))
+    q2 = bytearray(mutate(rng, bytes(t2), 0.03))
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    inv = bytes(comp[b] for b in reversed(q2[1200:1500]))
+    q2[1200:1500] = inv
+    # ends-free patch jobs (head + tail erodes)
+    jobs = [
+        (q1, t1, None),
+        (bytes(q2), bytes(t2), None),
+        (q1[:180], t1[:195], EndsFree(target_begin=195, query_begin=180)),
+        (q1[-170:], t1[-150:], EndsFree(target_end=150, query_end=170)),
+    ]
+    bounds = [None, None, 5 * 180 + 40, 5 * 170 + 40]
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("WFMASH_TPU_SEG_HOST_SMALL", mode)
+        eng = make_engine()
+        got = eng.align_batch(jobs, bounds=bounds)
+        results[mode] = (got, sorted(
+            (d["ji"], d["qa"], d["qb"], d["ta"], d["tb"], tuple(map(tuple, d["ops"])))
+            for d in eng.inversions))
+        for (q, t, ef), ops in zip(jobs, got):
+            assert ops is not None
+            if ef is None:
+                assert C.validate(ops, q, t, 0, 0)
+    assert results["0"][0] == results["1"][0]
+    assert results["0"][1] == results["1"][1]

@@ -627,9 +627,18 @@ class PallasSweeps:
         c_off_m, c_anc_m, c_og, c_ag, c_opg, c_eq, c_h0 = self._const_blocks(
             Rm, Rg, PB, K)
 
-        # round-robin chunks across groups: every group's next chunk is
-        # enqueued before any term flag is read back, so device work for
-        # group g+1 overlaps the (tunnel-latency-bound) readback of group g
+        # Speculative round-robin chunks across groups. Two levers keep a
+        # tunnel-grade link (RTT >> chunk compute) off the critical path:
+        # * every LIVE group gets up to R consecutive chunks enqueued
+        #   back-to-back before ANY term flag is read (a finished
+        #   problem's steps are skipped by the kernel's `alive` guard, so
+        #   overshoot costs ~nothing on device; R doubles per batch, so
+        #   deep problems converge in O(log) readbacks);
+        # * the term arrays of all live groups are stacked ON DEVICE and
+        #   fetched in ONE transfer instead of G round trips.
+        # Chunks past max_s are never enqueued (same dispatch set as the
+        # non-speculative loop -> bit-identical results and cap
+        # semantics).
         states = {}
         s0s = {}
         for gi in range(G):
@@ -641,19 +650,29 @@ class PallasSweeps:
             s0s[gi] = 1
         live = set(range(G))
         terms = {}
+        spec_r = 2
         while live:
-            for gi in sorted(live):
-                states[gi] = _run_chunk(
-                    jnp.asarray([s0s[gi]], jnp.int32), par_d[gi],
-                    qtab_all[gi], ttab_all[gi], states[gi],
-                    PB=PB, K=K, n_steps=self.chunk_steps, penalties=p,
-                    interpret=self.interpret)
-                s0s[gi] += self.chunk_steps
-            for gi in sorted(live):
-                term_h = np.asarray(states[gi][-1])
-                terms[gi] = term_h
-                if term_h[:, 0].all() or s0s[gi] > max_s:
+            for _ in range(spec_r):
+                for gi in sorted(live):
+                    if s0s[gi] > max_s:
+                        continue
+                    states[gi] = _run_chunk(
+                        jnp.asarray([s0s[gi]], jnp.int32), par_d[gi],
+                        qtab_all[gi], ttab_all[gi], states[gi],
+                        PB=PB, K=K, n_steps=self.chunk_steps, penalties=p,
+                        interpret=self.interpret)
+                    s0s[gi] += self.chunk_steps
+            order = sorted(live)
+            if len(order) == 1:
+                terms_h = np.asarray(states[order[0]][-1])[None]
+            else:
+                terms_h = np.asarray(
+                    jnp.stack([states[gi][-1] for gi in order]))
+            for pos, gi in enumerate(order):
+                terms[gi] = terms_h[pos]
+                if terms_h[pos][:, 0].all() or s0s[gi] > max_s:
                     live.discard(gi)
+            spec_r = min(spec_r * 2, 8)
 
         for gi, (g0, hi, idx) in enumerate(groups):
             term_h = terms[gi]
