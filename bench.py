@@ -235,6 +235,11 @@ def main() -> None:
 
     threads = min(8, os.cpu_count() or 1)
 
+    # pin the RTT-probe TTL for the whole bench: a mid-run re-probe is
+    # a multi-second subprocess that would pollute a measured repeat
+    # (production pipelines keep the default 300 s TTL)
+    os.environ.setdefault("WFMASH_TPU_RTT_TTL_S", "100000")
+
     # subprocess-guarded probe FIRST: a dead tunnel degrades the whole
     # bench to the host paths instead of hanging device init
     rtt = probe_rtt()

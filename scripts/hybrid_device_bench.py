@@ -34,6 +34,8 @@ def main():
     os.environ["WFMASH_TPU_SEG_GROUPS_SCALE"] = scale
     os.environ.setdefault("WFMASH_TPU_DEVICE_L1", "0")
     os.environ.setdefault("WFMASH_TPU_PERF", "1")
+    # one routing decision for both passes (no mid-run RTT re-probe)
+    os.environ.setdefault("WFMASH_TPU_RTT_TTL_S", "100000")
 
     from wfmash_tpu.utils import jaxcache
     jaxcache.enable()
@@ -82,6 +84,10 @@ def main():
             "rows": out.getvalue().count("\n"),
         }), flush=True)
     assert outs[0] == outs[1], "non-deterministic hybrid output"
+    save = os.environ.get("WFMASH_TPU_HYBRID_OUT")
+    if save:
+        with open(save, "w") as fh:
+            fh.write(outs[1])
 
 
 if __name__ == "__main__":

@@ -1091,10 +1091,22 @@ class SegmentedEngine:
         budgets = [int(math.ceil(
             score_cigar(plans[ji][pi], self.p) * 0.9))
             for (ji, pi, _, _) in cands]
-        if self._host_smalls_ok():
-            # one capped native call: each try either completes within
-            # its budget (evidence recorded below) or is PROVEN over it
-            # (the cap rejection) — no fallback pass needed
+        native_ok = False
+        try:
+            from ..native import get_wfa_lib
+
+            native_ok = get_wfa_lib() is not None
+        except Exception:   # pragma: no cover - import failure
+            native_ok = False
+        if native_ok:
+            # One capped native call for ALL tries, regardless of the
+            # link policy: each try either completes within its budget
+            # (exact evidence, recorded below) or is PROVEN over it (the
+            # cap rejection). A device pre-screen cannot prune this —
+            # banded failures prove nothing about out-of-band paths and
+            # banded successes are non-canonical co-optimals — so with a
+            # native lib the screen is pure overhead (and emitting the
+            # native optimum keeps every routing config byte-identical).
             from ..native import WfaMemoryBudget, wfa_align_batch_native
 
             solved = None
@@ -1119,21 +1131,34 @@ class SegmentedEngine:
                                     max_scores=budgets)
 
         def needs_host(k):
-            if rev_got[k] is not None:
-                return False
-            s = stat[k]
-            code, smax = s if isinstance(s, tuple) else (
-                s, getattr(self.solver, "smax", 0))
-            if code == "scorecap" and budgets[k] <= smax:
-                return False           # proven: rev score > budget
-            return True
+            # ONLY a within-budget result is conclusive. A banded sweep
+            # that hits the score cap proves nothing about OUT-OF-BAND
+            # rev paths within budget (gap ladders can leave any fixed
+            # band for less than these budgets), and a banded CIGAR over
+            # budget may shadow an in-band optimum under it — both retry
+            # exact-capped, matching the native route's (and the
+            # reference's) semantics, wflign_patch.cpp:405-538. (The
+            # former shortcut "scorecap proves over-budget" missed 122
+            # of 242 LPA inversions.)
+            return not (rev_got[k] is not None
+                        and score_cigar(rev_got[k], self.p) <= budgets[k])
 
         fb = [k for k in range(len(rev_got)) if needs_host(k)]
         if fb:
+            got = None
+            from ..native import WfaMemoryBudget, wfa_align_batch_native
+
+            try:
+                solved = wfa_align_batch_native(
+                    [rev_jobs[k] for k in fb], self.p,
+                    max_scores=[budgets[k] for k in fb])
+                if solved is not None:
+                    got = [ops for _, ops in solved]
+            except WfaMemoryBudget:   # pragma: no cover - giant piece
+                got = None
             fb_args = [(rev_jobs[k][0], rev_jobs[k][1], self.p,
                         budgets[k]) for k in fb]
-            got = None
-            if self.threads > 1 and len(fb) >= 8:
+            if got is None and self.threads > 1 and len(fb) >= 8:
                 from ..utils.hostpool import get_pool
 
                 pool = get_pool(self.threads)
