@@ -173,32 +173,46 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
             return jnp.where(lane == K - 1, fill, out)
 
         # ---- extension: h += run of eq bits starting at bit h ------------
+        def _ext_once(h, more):
+            """One 64-bit extension window starting at bit h for lanes in
+            `more`; returns (h', still-running mask)."""
+            idx = jnp.where(more, h, 0)
+            wi = idx >> 5
+            bo = (idx & 31).astype(jnp.uint32)
+            a0 = jnp.zeros((PB, K), jnp.uint32)
+            a1 = jnp.zeros((PB, K), jnp.uint32)
+            for m in range(eqw):
+                row = eq_ref[0, m]
+                a0 = jnp.where(wi == m, row, a0)
+                a1 = jnp.where(wi + 1 == m, row, a1)
+            al = jnp.where(bo == 0, a0,
+                           (a0 >> bo) | (a1 << (jnp.uint32(32) - bo)))
+            run = _ctz32(~al)
+            h2 = jnp.where(more, h + run, h)
+            return h2, more & (run == 32) & (h2 < qlen)
+
         def extend(m_off):
+            # Unrolled common case + rare dynamic tail: a dynamic
+            # while_loop costs a scalar-condition sync per ITERATION
+            # (including the final failing check), and extension runs at
+            # realistic divergence almost never cross two 32-bit eq
+            # windows — so two unrolled probes resolve nearly every step
+            # and the while_loop (match runs >= 64 bases) hides behind
+            # one predicated branch.
+            more0 = m_off > NEG
+            h, more = _ext_once(m_off, more0)
+            h, more = _ext_once(h, more)
+
             def cond(c):
                 _, more_i = c
                 return jnp.any(more_i != 0)
 
             def body(c):
-                h, more_i = c
-                more = more_i != 0
-                idx = jnp.where(more, h, 0)
-                wi = idx >> 5
-                bo = (idx & 31).astype(jnp.uint32)
-                a0 = jnp.zeros((PB, K), jnp.uint32)
-                a1 = jnp.zeros((PB, K), jnp.uint32)
-                for m in range(eqw):
-                    row = eq_ref[0, m]
-                    a0 = jnp.where(wi == m, row, a0)
-                    a1 = jnp.where(wi + 1 == m, row, a1)
-                al = jnp.where(bo == 0, a0,
-                               (a0 >> bo) | (a1 << (jnp.uint32(32) - bo)))
-                run = _ctz32(~al)
-                h2 = jnp.where(more, h + run, h)
-                more2 = more & (run == 32) & (h2 < qlen)
-                return h2, more2.astype(jnp.int32)
+                hh, more_i = c
+                h2, m2 = _ext_once(hh, more_i != 0)
+                return h2, m2.astype(jnp.int32)
 
-            h, _ = jax.lax.while_loop(
-                cond, body, (m_off, (m_off > NEG).astype(jnp.int32)))
+            h, _ = jax.lax.while_loop(cond, body, (h, more.astype(jnp.int32)))
             v = h - kvec
             over = jnp.maximum(jnp.maximum(h - qlen, v - tlen), 0)
             return jnp.where(h > NEG, h - over, h)
