@@ -4,14 +4,14 @@ VERDICT round-3 #4: "Make the device align path win through a >=20 ms
 link, not just hypothetically at <1 ms" — collapse launches
 (WFMASH_TPU_SEG_GROUPS_SCALE) and measure the hybrid device E2E on LPA
 all-vs-all against the exact host engine (58 s at r03; 249.7 s was the
-r03 hybrid number).
+r03 hybrid number). Launch count comes from the perf counter
+`align.device_calls` (plus `align.device_s` for busy time).
 
 Protocol: host mapping (the device L1/L2 choice is orthogonal and
 measured separately), then align with the segmented device engine
 forced on (WFMASH_TPU_SEGMENTED=1). Two passes: cold (absorbs
 server-side Mosaic compiles, 30-400 s/shape through the axon tunnel)
-and warm (the reported number). Launch count comes from the perf
-counters (align.device_launches / align.device_s).
+and warm (the reported number).
 
 Usage: python scripts/hybrid_device_bench.py [groups_scale]
 Writes one JSON line to stdout.

@@ -716,13 +716,15 @@ class SegmentedEngine:
         # ~256 bp tier-1 segments beats solving it whole on the deep
         # tier; only unanchorable spans should reach t3.
         for (ji, q, t) in todo:
-            bounds = _plan_bounds(q, t, self.seg_target, 512, 256)
-            if bounds is None:
+            # NB: must not shadow the align_batch `bounds` parameter —
+            # run_host_small reads it after this loop (advisor r4 #1)
+            pb = _plan_bounds(q, t, self.seg_target, 512, 256)
+            if pb is None:
                 plans[ji] = None
                 exact_jobs.append((ji, 0, q, t, None))
                 self.stats["exact_blocks"] += 1
                 continue
-            bounds_q, bounds_t = bounds
+            bounds_q, bounds_t = pb
             bounds_of[ji] = (bounds_q, bounds_t)
             pieces = []
             for pi in range(len(bounds_q) - 1):
@@ -966,8 +968,18 @@ class SegmentedEngine:
             # beats per-piece exact sweeps through a high-latency link
             from ..native import WfaMemoryBudget, wfa_align_batch_native
 
-            nat = [e for e in escal_jobs if e[4] is None]
-            rest = [e for e in escal_jobs if e[4] is not None]
+            # routing bit-identity (advisor r4 #2): pieces above the
+            # exact engine's HOST_LEN go through run_exact in BOTH
+            # SEG_HOST_SMALL configs — a native end-to-end solve here
+            # could differ byte-wise from the exact engine's crossing-
+            # payload split recursion on the same (score-equal) piece.
+            hl = int(getattr(self.exact, "HOST_LEN", 1900))
+
+            def _nat_ok(e):
+                return e[4] is None and max(len(e[2]), len(e[3])) <= hl
+
+            nat = [e for e in escal_jobs if _nat_ok(e)]
+            rest = [e for e in escal_jobs if not _nat_ok(e)]
             if nat:
                 solved = None
                 try:

@@ -118,6 +118,8 @@ def _device_rtt_ms() -> float:
     import subprocess
     import sys as _sys
 
+    first_probe = _RTT_MS is None   # TTL re-probes enter with a value set
+
     try:
         out = subprocess.run(
             [_sys.executable, "-c", _RTT_PROBE], capture_output=True,
@@ -131,14 +133,23 @@ def _device_rtt_ms() -> float:
         raise RuntimeError(out.stderr[-200:])
     except (subprocess.TimeoutExpired, RuntimeError, ValueError,
             OSError) as e:
-        log("[wfmash] device unreachable (%s); falling back to CPU"
-            % type(e).__name__)
         _RTT_MS = float("inf")
-        _RTT_FINAL = True       # platform switched: no in-process recovery
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:   # pragma: no cover - backend already live
-            pass
+        _RTT_FINAL = True       # unreachable: no in-process recovery
+        if first_probe:
+            # Backends are still uninitialized (the probe is the first
+            # device touch), so the platform switch below takes effect.
+            log("[wfmash] device unreachable (%s); falling back to CPU"
+                % type(e).__name__)
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:   # pragma: no cover - backend already live
+                pass
+        else:
+            # Mid-run TTL re-probe: JAX backends may already be live, so
+            # a platform switch would be a no-op — routing simply treats
+            # RTT=inf as "host paths only" from here on (advisor r4 #3).
+            log("[wfmash] device link lost mid-run (%s); routing new "
+                "work to host paths" % type(e).__name__)
         return _RTT_MS
 
 
