@@ -855,6 +855,9 @@ class SegmentSolver:
         # (term col 8 is written by the kernel's forward loop exit)
         levels = term.reshape(G, PB, 16)[:, 0, 8].astype(np.int64)
         perf.add("align.device_cells", int(levels.sum()) * PB * K * 5)
+        # per-group work exposed for mesh-balance diagnostics
+        # (dryrun_multichip prints min/max per-device swept levels)
+        self.last_group_levels = levels
         cur = term[:, 4]
         used = (maxr - 1) - cur
         runs_np = None

@@ -101,6 +101,11 @@ class ShardedDeviceL1:
             self.ep_pos[i, :eb - ea] = ep["pos"][ea:eb].astype(np.int32)
             self.ep_seq[i, :eb - ea] = ep["seq_id"][ea:eb].astype(np.int32)
             self.ep_side[i, :eb - ea] = ep["side"][ea:eb]
+        # real (unpadded) per-shard endpoint counts: the hash-range split
+        # balances by endpoint count; dryrun_multichip reports the skew
+        self.shard_ep_counts = [
+            int(offs[bounds[i + 1]] - offs[bounds[i]])
+            for i in range(self.n_shard)]
         self._jit = None
 
     def _build(self, S):
