@@ -1065,10 +1065,45 @@ class _StreamSolve:
             self.cv.notify()
 
     def run(self) -> None:
+        import os
+        import time as _time
+
+        from ..utils import perf
+
         t1 = self.solver.tiers[0]
         CH = t1.max_call
         taken = 0
         elig: list = []     # t1-eligible, awaiting dispatch
+        # in-flight dispatch queue (round-5): collecting a chunk before
+        # dispatching the next serialized every tunnel launch (~0.35 s
+        # each on LPA). Keeping a few chunks in flight overlaps chunk
+        # N+1's upload/compute with chunk N's readback; per-job results
+        # are unchanged (independent of chunk grouping, tested).
+        depth = max(1, int(os.environ.get("WFMASH_TPU_SEG_INFLIGHT",
+                                          "3")))
+        inflight: list = []
+        st_str: dict = {}   # raw string statuses from _collect_chunk
+        _t0 = [None]
+
+        def _dispatch(chunk):
+            if _t0[0] is None:
+                _t0[0] = _time.monotonic()
+            inflight.append(t1._dispatch_chunk(chunk, self.jobs,
+                                               self.max_scores))
+            perf.add("align.device_calls", 1)
+
+        def _finish_one():
+            disp = inflight.pop(0)
+            t1._collect_chunk(disp, self.res, st_str, self.certify,
+                              self.unc)
+            for i in disp["idxs"]:
+                s = st_str.get(i, "envelope")
+                if s != "envelope":
+                    self.st[i] = (s, t1.smax)
+                if (s == "scorecap" and self.max_scores[i] is not None
+                        and self.max_scores[i] <= t1.smax):
+                    self.refuted.add(i)   # score > cap proven
+
         while True:
             with self.cv:
                 while not self.closed and len(self.jobs) - taken < CH:
@@ -1083,11 +1118,15 @@ class _StreamSolve:
             drained = closed and taken == len(self.jobs)
             while len(elig) >= CH or (drained and elig):
                 chunk, elig = elig[:CH], elig[CH:]
-                self.refuted |= self.solver._run_tier(
-                    t1, chunk, self.jobs, self.certify, self.max_scores,
-                    self.res, self.st, self.unc)
+                _dispatch(chunk)
+                while len(inflight) > depth:
+                    _finish_one()
             if drained and not elig:
                 break
+        while inflight:
+            _finish_one()
+        if _t0[0] is not None:
+            perf.add("align.device_s", _time.monotonic() - _t0[0])
         # cascade the remainder through the deeper tiers (pooled)
         pending = [k for k in range(len(self.jobs))
                    if self.res[k] is None and k not in self.refuted]
