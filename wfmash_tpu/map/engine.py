@@ -283,14 +283,7 @@ class Mapper:
                 np.ascontiguousarray(sketch.hashes, np.uint64),
                 np.ascontiguousarray(sketch.strand, np.int8),
                 max(0, q_len - p.window_length), p.window_length)
-            if rows is not None:
-                l2s_of = [
-                    [L2Mapping(seq_id=a, mean_optimal_pos=bb,
-                               optimal_start=c, optimal_end=d,
-                               shared_sketch_size=ee,
-                               strand=STRAND_FWD if f > 0 else STRAND_REV)
-                     for (a, bb, c, d, ee, f) in r]
-                    for r in rows]
+            l2s_of = rows   # raw (seq, pos, start, end, shared, fwd)
 
         # the identity gate and its scaled value depend only on
         # (shared_sketch_size, sketch_size) for fixed params — memoized
@@ -298,16 +291,24 @@ class Mapper:
         q_start = frag_index * p.window_length
         scaled_c = scale_complexity(sketch.kmer_complexity)
         gate = self._l2_gate
+        ssize = sketch.sketch_size
         for ci, cand in enumerate(sel):
             l2s = of_cand.get(id(cand))
             if l2s is None and l2s_of is not None:
-                l2s = l2s_of[ci]
+                # native rows consumed raw — building L2Mapping tuples
+                # just to unpack them was ~0.15 s/run of object churn
+                for (a, bb, _c, _d, ee, f) in l2s_of[ci]:
+                    keep, scaled_id = gate(ee, ssize)
+                    if keep:
+                        out.append((a, bb, q_start, q_len, 1, ee,
+                                    scaled_id, 0 if f > 0 else FLAG_REV,
+                                    scaled_c))
+                continue
             if l2s is None:
                 l2s = compute_l2_mapped_regions(sketch, q_len, cand,
                                                 index, p)
             for l2 in l2s:
-                keep, scaled_id = gate(l2.shared_sketch_size,
-                                       sketch.sketch_size)
+                keep, scaled_id = gate(l2.shared_sketch_size, ssize)
                 if keep:
                     flags = FLAG_REV if l2.strand == STRAND_REV else 0
                     out.append(
