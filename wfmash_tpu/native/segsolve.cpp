@@ -27,7 +27,10 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
 #include <ctime>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace segsolve {
@@ -110,6 +113,25 @@ static void diag_ops(const uint8_t* q, int64_t m, const uint8_t* t,
     else if (n > m)
         em.emit(n - m, 'D');
 }
+
+// Content-keyed piece memo. All-vs-all record sets tile the same
+// sequence pairs with overlapping padded extents, so anchor-planned
+// pieces with IDENTICAL (query, target) bytes recur across records;
+// piece solving is deterministic in (bytes, depth) for fixed penalties
+// and caps, so replaying the memoized runs is bit-identical by
+// construction. Keyed by the full content (no hash-collision risk),
+// cleared at each top-level batch entry (penalties/caps constant
+// within a call), insertion stops past a memory ceiling.
+struct PieceMemo {
+    std::unordered_map<std::string, std::vector<int64_t>> map;
+    size_t bytes = 0;
+    static constexpr size_t MAX_BYTES = 128u << 20;
+    void clear() {
+        map.clear();
+        bytes = 0;
+    }
+};
+static thread_local PieceMemo g_piece_memo;
 
 // Core of segmented_host_align for one block. depth 0 applies the
 // refine cap and recurses once (seg_target 128) on capped pieces;
@@ -204,6 +226,7 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
     // solve pieces (plan order == piece order)
     std::vector<std::vector<int64_t>> solved(n_pieces);
     std::vector<int64_t> scratch;
+    std::string ckey;   // content-keyed piece memo key (see g_piece_memo)
     // Exact diagonal fast path: a same-length piece whose mismatch
     // cost is STRICTLY below every gap-pair cost (any path leaving the
     // diagonal must open one I and one D: >= o+e each) has the pure
@@ -231,6 +254,24 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
                 continue;
             }
         }
+        // content-keyed memo lookup (see PieceMemo: identical bytes at
+        // the same depth solve identically — replay is bit-identical)
+        const bool memo_ok = (pm + pn) <= 4096;
+        if (memo_ok) {
+            ckey.resize((size_t)(17 + pm + pn));
+            char* kd = &ckey[0];
+            kd[0] = (char)depth;
+            memcpy(kd + 1, &pm, 8);
+            memcpy(kd + 9, &pn, 8);
+            memcpy(kd + 17, q + e.q0, (size_t)pm);
+            memcpy(kd + 17 + pm, t + e.t0, (size_t)pn);
+            auto it = g_piece_memo.map.find(ckey);
+            if (it != g_piece_memo.map.end()) {
+                solved[e.piece] = it->second;
+                g_phase[7] += 1;
+                continue;
+            }
+        }
         const int64_t junk =
             ((int64_t)x * std::min(pm, pn)) * 55 / 100 + 64;
         const int64_t cap_s =
@@ -252,9 +293,18 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
         if (got == -1) g_phase[9] += 1;          // capped pieces
         g_phase[10] += (double)(pm + pn);        // piece bp solved
         if (score > 0) g_phase[11] += (double)(score * score);
+        auto memo_put = [&](const std::vector<int64_t>& runs) {
+            if (!memo_ok ||
+                g_piece_memo.bytes >= PieceMemo::MAX_BYTES)
+                return;
+            g_piece_memo.bytes +=
+                ckey.size() + runs.size() * 8 + 64;
+            g_piece_memo.map.emplace(ckey, runs);
+        };
         if (got >= 0) {
             solved[e.piece].assign(scratch.begin(),
                                    scratch.begin() + got);
+            memo_put(solved[e.piece]);
             continue;
         }
         if (got == -4 || got == -3 || got == -2) return got;
@@ -272,6 +322,7 @@ static int64_t solve_block(const uint8_t* q, int64_t m, const uint8_t* t,
             diag_ops(q + e.q0, pm, t + e.t0, pn, d);
             solved[e.piece] = std::move(d.runs);
         }
+        memo_put(solved[e.piece]);
     }
     // stitch
     for (const Ent& e : plan) {
@@ -305,6 +356,7 @@ int64_t segmented_solve(const uint8_t* q, int64_t m, const uint8_t* t,
                         int32_t o2, int32_t e2, int64_t seg_target,
                         int64_t refine_cap, int64_t* out, int64_t cap,
                         int64_t mem_cap) {
+    segsolve::g_piece_memo.clear();   // penalties/caps fixed per call
     segsolve::RunEmit em;
     int64_t r = segsolve::solve_block(q, m, t, n, x, o1, e1, o2, e2,
                                       seg_target, refine_cap, 0,
@@ -336,6 +388,9 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
                           int64_t* out_counts, int64_t* out_status,
                           int64_t mem_cap) {
     const double tcall0 = segsolve::now_s();
+    // piece memo lives for the whole batch: overlapping records in an
+    // all-vs-all set re-plan identical pieces across blocks
+    segsolve::g_piece_memo.clear();
     int64_t n_out = 0;
     for (int64_t i = 0; i < n_blocks; i++) {
         const uint8_t* q = qbuf + qoff[i];
