@@ -30,6 +30,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 #if defined(__AVX512F__) && defined(__AVX512CD__)
@@ -776,6 +778,42 @@ int64_t wfa_align_native(const uint8_t *q, int64_t m, const uint8_t *t,
     return r == -5 ? -1 : r;
 }
 
+// Content-keyed batch memo: one batch frequently carries duplicate
+// jobs (boundary patches and rev-comp inversion tries recur across
+// overlapping all-vs-all records). Keyed by the FULL problem content —
+// sequences, free spans, and the per-piece cap (results depend on all
+// three) — so a hit replays a bit-identical (status, score, runs)
+// triple. Per-call lifetime; insertion stops at a memory ceiling.
+namespace {
+struct BatchMemoVal {
+    int64_t got;      // run count, or -1 (cap exceeded)
+    int64_t score;
+    std::vector<int64_t> runs;
+};
+struct BatchMemo {
+    std::unordered_map<std::string, BatchMemoVal> map;
+    size_t bytes = 0;
+    static constexpr size_t MAX_BYTES = 128u << 20;
+    void clear() {
+        map.clear();
+        bytes = 0;
+    }
+};
+thread_local BatchMemo g_batch_memo;
+
+inline void batch_memo_key(std::string& k, const uint8_t* q, int64_t m,
+                           const uint8_t* t, int64_t n, int64_t tb,
+                           int64_t te, int64_t qb, int64_t qe,
+                           int64_t ms) {
+    k.resize((size_t)(56 + m + n));
+    char* d = &k[0];
+    const int64_t hdr[7] = {m, n, tb, te, qb, qe, ms};
+    memcpy(d, hdr, 56);
+    memcpy(d + 56, q, (size_t)m);
+    memcpy(d + 56 + m, t, (size_t)n);
+}
+}  // namespace
+
 // Many small end-to-end alignments in ONE call (the segmented host
 // path solves ~40 pieces per diverted block; per-piece ctypes glue was
 // ~280 us against ~20 us of actual WFA). Sequences are concatenated in
@@ -789,14 +827,50 @@ int64_t wfa_align_batch(const uint8_t* qbuf, const int64_t* qoff,
                         const int64_t* max_scores,   // nullable; -1 = none
                         int64_t* out, int64_t cap, int64_t* out_counts,
                         int64_t* out_scores, int64_t mem_cap) {
+    g_batch_memo.clear();
+    std::string key;
     int64_t n_out = 0;
     for (int64_t i = 0; i < n_pieces; i++) {
-        int64_t score = 0;
+        const uint8_t* q = qbuf + qoff[i];
+        const uint8_t* t = tbuf + toff[i];
+        const int64_t m = qoff[i + 1] - qoff[i];
+        const int64_t n = toff[i + 1] - toff[i];
         int64_t ms = max_scores ? max_scores[i] : -1;
+        const bool memo_ok = m + n <= 16384;
+        if (memo_ok) {
+            batch_memo_key(key, q, m, t, n, 0, 0, 0, 0, ms);
+            auto it = g_batch_memo.map.find(key);
+            if (it != g_batch_memo.map.end()) {
+                const BatchMemoVal& v = it->second;
+                if (v.got == -1) {
+                    out_counts[i] = -1;
+                    out_scores[i] = -1;
+                    continue;
+                }
+                if (n_out + v.got > cap) return -2;
+                std::copy(v.runs.begin(), v.runs.end(), out + n_out);
+                out_counts[i] = v.got;
+                out_scores[i] = v.score;
+                n_out += v.got;
+                continue;
+            }
+        }
+        int64_t score = 0;
         int64_t got = wfa_align_native(
-            qbuf + qoff[i], qoff[i + 1] - qoff[i], tbuf + toff[i],
-            toff[i + 1] - toff[i], x, o1, e1, o2, e2, 0, 0, 0, 0, ms,
+            q, m, t, n, x, o1, e1, o2, e2, 0, 0, 0, 0, ms,
             out + n_out, cap - n_out, &score, mem_cap);
+        if (got >= 0 || got == -1) {
+            if (memo_ok && g_batch_memo.bytes < BatchMemo::MAX_BYTES) {
+                BatchMemoVal v;
+                v.got = got;
+                v.score = got == -1 ? -1 : score;
+                if (got > 0)
+                    v.runs.assign(out + n_out, out + n_out + got);
+                g_batch_memo.bytes +=
+                    key.size() + v.runs.size() * 8 + 96;
+                g_batch_memo.map.emplace(key, std::move(v));
+            }
+        }
         if (got == -1) {             // per-piece score cap exceeded
             out_counts[i] = -1;
             out_scores[i] = -1;
@@ -823,15 +897,52 @@ int64_t wfa_align_batch_ef(const uint8_t* qbuf, const int64_t* qoff,
                            int64_t* out, int64_t cap,
                            int64_t* out_counts, int64_t* out_scores,
                            int64_t mem_cap) {
+    g_batch_memo.clear();
+    std::string key;
     int64_t n_out = 0;
     for (int64_t i = 0; i < n_pieces; i++) {
-        int64_t score = 0;
+        const uint8_t* q = qbuf + qoff[i];
+        const uint8_t* t = tbuf + toff[i];
+        const int64_t m = qoff[i + 1] - qoff[i];
+        const int64_t n = toff[i + 1] - toff[i];
         int64_t ms = max_scores ? max_scores[i] : -1;
+        const bool memo_ok = m + n <= 16384;
+        if (memo_ok) {
+            batch_memo_key(key, q, m, t, n, tb[i], te[i], qb[i], qe[i],
+                           ms);
+            auto it = g_batch_memo.map.find(key);
+            if (it != g_batch_memo.map.end()) {
+                const BatchMemoVal& v = it->second;
+                if (v.got == -1) {
+                    out_counts[i] = -1;
+                    out_scores[i] = -1;
+                    continue;
+                }
+                if (n_out + v.got > cap) return -2;
+                std::copy(v.runs.begin(), v.runs.end(), out + n_out);
+                out_counts[i] = v.got;
+                out_scores[i] = v.score;
+                n_out += v.got;
+                continue;
+            }
+        }
+        int64_t score = 0;
         int64_t got = wfa_align_native(
-            qbuf + qoff[i], qoff[i + 1] - qoff[i], tbuf + toff[i],
-            toff[i + 1] - toff[i], x, o1, e1, o2, e2,
+            q, m, t, n, x, o1, e1, o2, e2,
             tb[i], te[i], qb[i], qe[i], ms,
             out + n_out, cap - n_out, &score, mem_cap);
+        if (got >= 0 || got == -1) {
+            if (memo_ok && g_batch_memo.bytes < BatchMemo::MAX_BYTES) {
+                BatchMemoVal v;
+                v.got = got;
+                v.score = got == -1 ? -1 : score;
+                if (got > 0)
+                    v.runs.assign(out + n_out, out + n_out + got);
+                g_batch_memo.bytes +=
+                    key.size() + v.runs.size() * 8 + 96;
+                g_batch_memo.map.emplace(key, std::move(v));
+            }
+        }
         if (got == -1) {
             out_counts[i] = -1;
             out_scores[i] = -1;
