@@ -67,7 +67,7 @@ def main():
     idxs = list(range(min(n, B)))
     # warm (compile)
     disp = solver._dispatch_chunk(idxs, jobs, None)
-    fence(disp["term"])
+    fence(disp["out16"])
 
     t_pack, t_disp, t_read, t_dec = [], [], [], []
     for _ in range(reps):
@@ -75,7 +75,7 @@ def main():
         disp = solver._dispatch_chunk(idxs, jobs, None)
         t_disp.append(time.monotonic() - t0)   # pack + async launch
         t0 = time.monotonic()
-        fence(disp["term"])                     # device completion
+        fence(disp["out16"])                    # device completion
         t_read.append(time.monotonic() - t0)
         t0 = time.monotonic()
         results = [None] * n

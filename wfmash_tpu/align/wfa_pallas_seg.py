@@ -111,7 +111,8 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
     x, o1, e1, o2, e2 = (p.mismatch, p.gap_opening1, p.gap_extension1,
                          p.gap_opening2, p.gap_extension2)
 
-    def kernel(par_ref, eq_ref, runs_ref, term_ref, hist_ref, cur_ref):
+    def kernel(par_ref, eq_ref, runs_ref, term_ref, hist_ref, cur_ref,
+               ext_ref):
         NEG = jnp.int32(NEG_I)
         # par columns (per problem): 0 Qk = S + qlen (kernel query len),
         # 1 Tk = P + tlen, 2 S (query placement), 3 c = S - P (diagonal
@@ -176,35 +177,55 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
             return jnp.where(lane == K - 1, fill, out)
 
         # ---- extension: h += run of eq bits starting at bit h ------------
-        def _ext_once(h, more):
+        def _ext64(h, more):
             """One 64-bit extension window starting at bit h for lanes in
-            `more`; returns (h', still-running mask)."""
+            `more`; returns (h', still-running mask).
+
+            The word gather is span-bounded: eq words outside the active
+            lanes' [min(wi), max(wi)+2] range are skipped by a scalar
+            branch — early score levels touch only the first words, so
+            the former full-eqw select sweep (the kernel's hottest loop)
+            shrinks with the wavefront's actual progress."""
             idx = jnp.where(more, h, 0)
             wi = idx >> 5
             bo = (idx & 31).astype(jnp.uint32)
-            a0 = jnp.zeros((PB, K), jnp.uint32)
-            a1 = jnp.zeros((PB, K), jnp.uint32)
+            w_lo = jnp.min(jnp.where(more, wi, 1 << 20))
+            w_hi = jnp.max(jnp.where(more, wi, -1))
+            zero = jnp.zeros((PB, K), jnp.uint32)
+            ext_ref[0], ext_ref[1], ext_ref[2] = zero, zero, zero
             for m in range(eqw):
-                row = eq_ref[0, m]
-                a0 = jnp.where(wi == m, row, a0)
-                a1 = jnp.where(wi + 1 == m, row, a1)
-            al = jnp.where(bo == 0, a0,
-                           (a0 >> bo) | (a1 << (jnp.uint32(32) - bo)))
-            run = _ctz32(~al)
+                @pl.when((jnp.int32(m) >= w_lo)
+                         & (jnp.int32(m) <= w_hi + 2))
+                def _():
+                    row = eq_ref[0, m]
+                    ext_ref[0] = jnp.where(wi == m, row, ext_ref[0])
+                    if m >= 1:
+                        ext_ref[1] = jnp.where(wi == m - 1, row, ext_ref[1])
+                    if m >= 2:
+                        ext_ref[2] = jnp.where(wi == m - 2, row, ext_ref[2])
+            a0, a1, a2 = ext_ref[0], ext_ref[1], ext_ref[2]
+            sh = jnp.uint32(32) - bo
+            al = jnp.where(bo == 0, a0, (a0 >> bo) | (a1 << sh))
+            ah = jnp.where(bo == 0, a1, (a1 >> bo) | (a2 << sh))
+            r0 = _ctz32(~al)
+            run = jnp.where(r0 == 32, 32 + _ctz32(~ah), r0)
             h2 = jnp.where(more, h + run, h)
-            return h2, more & (run == 32) & (h2 < qlen)
+            return h2, more & (run == 64) & (h2 < qlen)
+
+        import os as _os
+        _noext = _os.environ.get("WFMASH_TPU_SEGK_NOEXT", "0") == "1"
 
         def extend(m_off):
-            # Unrolled common case + rare dynamic tail: a dynamic
-            # while_loop costs a scalar-condition sync per ITERATION
-            # (including the final failing check), and extension runs at
-            # realistic divergence almost never cross two 32-bit eq
-            # windows — so two unrolled probes resolve nearly every step
-            # and the while_loop (match runs >= 64 bases) hides behind
-            # one predicated branch.
+            if _noext:   # timing probe only: splits kernel time into
+                v0 = m_off - kvec    # extension vs everything-else
+                over0 = jnp.maximum(jnp.maximum(m_off - qlen, v0 - tlen), 0)
+                return jnp.where(m_off > NEG, m_off - over0, m_off)
+            # One 64-bit probe resolves nearly every step at realistic
+            # divergence (match runs >= 64 bases are rare); the dynamic
+            # while_loop (scalar-condition sync per iteration) only pays
+            # for the tail.
             more0 = m_off > NEG
-            h, more = _ext_once(m_off, more0)
-            h, more = _ext_once(h, more)
+            h, more = _ext64(m_off, more0)
 
             def cond(c):
                 _, more_i = c
@@ -212,7 +233,7 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
 
             def body(c):
                 hh, more_i = c
-                h2, m2 = _ext_once(hh, more_i != 0)
+                h2, m2 = _ext64(hh, more_i != 0)
                 return h2, m2.astype(jnp.int32)
 
             h, _ = jax.lax.while_loop(cond, body, (h, more.astype(jnp.int32)))
@@ -465,21 +486,32 @@ def _make_seg_kernel(p: Penalties, PB: int, K: int, smax: int, eqw: int,
 RUNS_CAP = 128
 
 
-def _run_seg_impl(q4, t4, par, *, penalties, PB, K, smax, maxr,
+def _run_seg_impl(buf, *, penalties, PB, K, smax, maxr,
                   interpret):
-    """Packed (G*PB, L//2) u8 nibble sequences + (G, PB, 16) params ->
-    (runs_full i32, runs_c i16, term i32[...,:16]).
+    """Fused (G*PB, L//2 + L//2 + 64) u8 chunk buffer (nibble-packed
+    query rows | nibble-packed target rows | 16 little-endian int32
+    params per row) -> (runs_full i32, out16 i16 (G, PB, 16+RUNS_CAP):
+    term columns then compacted runs).
 
-    Inputs carry two 4-bit symbol codes per byte (see _SYM_LUT: ACGTN +
-    pad sentinels) and the epilogue compacts each row's RLE runs to
-    RUNS_CAP int16 entries — together ~4x less tunnel traffic than the
-    raw u8 / int32 layout (measured 70% of the seg-kernel wall was
-    transfers). Traceable body (jitted directly, or per-device inside
-    shard_map)."""
-    B, Lh = q4.shape
+    ONE upload and ONE readback array per chunk: through the tunnel each
+    separate transfer pays a full RTT (three uploads + two readbacks
+    cost ~5 x 28 ms per chunk before fusing). Sequences carry two 4-bit
+    symbol codes per byte (see _SYM_LUT) and the epilogue compacts each
+    row's RLE runs to RUNS_CAP int16 entries — ~4x less traffic than the
+    raw u8 / int32 layout. Traceable body (jitted directly, or
+    per-device inside shard_map)."""
+    B = buf.shape[0]
+    Lh = (buf.shape[1] - 64) // 2
     L = Lh * 2
     G = B // PB
     eqw = L // 32
+    q4 = buf[:, :Lh]
+    t4 = buf[:, Lh:2 * Lh]
+    pb = buf[:, 2 * Lh:].reshape(B, 16, 4).astype(jnp.uint32)
+    par_u = pb[..., 0] | (pb[..., 1] << 8) | (pb[..., 2] << 16) \
+        | (pb[..., 3] << 24)
+    par = jax.lax.bitcast_convert_type(
+        par_u, jnp.int32).reshape(G, PB, 16)
 
     def unpack(x):
         lo = x & jnp.uint8(15)
@@ -516,6 +548,7 @@ def _run_seg_impl(q4, t4, par, *, penalties, PB, K, smax, maxr,
         scratch_shapes=[
             pltpu.VMEM((5, smax, PB, K), jnp.int16),
             pltpu.VMEM((PB, 128), jnp.int32),
+            pltpu.VMEM((3, PB, K), jnp.uint32),
         ],
         interpret=interpret,
         **kwargs,
@@ -524,7 +557,11 @@ def _run_seg_impl(q4, t4, par, *, penalties, PB, K, smax, maxr,
     cur = term[..., 4]                                   # (G, PB)
     idx = jnp.minimum(cur[..., None] + 1 + jnp.arange(cap), maxr - 1)
     runs_c = jnp.take_along_axis(runs, idx, axis=-1).astype(jnp.int16)
-    return runs, runs_c, term[..., :16]
+    # one readback array: term columns (all values fit int16 — scores
+    # <= smax <= 2048, cursors <= maxr-1 <= 4223) then the compact runs
+    out16 = jnp.concatenate(
+        [term[..., :16].astype(jnp.int16), runs_c], axis=-1)
+    return runs, out16
 
 
 _run_seg = partial(jax.jit, static_argnames=(
@@ -533,7 +570,7 @@ _run_seg = partial(jax.jit, static_argnames=(
 
 @partial(jax.jit, static_argnames=("mesh", "penalties", "PB", "K", "smax",
                                    "maxr", "interpret"))
-def _run_seg_sharded(q4, t4, par, *, mesh, penalties, PB, K, smax,
+def _run_seg_sharded(buf, *, mesh, penalties, PB, K, smax,
                      maxr, interpret):
     """Segment-kernel batch sharded over the mesh: the grid (group) axis
     splits across devices — the record-parallel align loop of the
@@ -545,14 +582,13 @@ def _run_seg_sharded(q4, t4, par, *, mesh, penalties, PB, K, smax,
 
     spec = P(mesh.axis_names[0])
 
-    def local(q4, t4, par):
-        return _run_seg_impl(q4, t4, par, penalties=penalties, PB=PB,
+    def local(buf):
+        return _run_seg_impl(buf, penalties=penalties, PB=PB,
                              K=K, smax=smax, maxr=maxr,
                              interpret=interpret)
 
-    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=(spec, spec, spec), check_rep=False)(
-        q4, t4, par)
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=(spec, spec), check_rep=False)(buf)
 
 
 # ---------------------------------------------------------------------------
@@ -827,15 +863,20 @@ class SegmentSolver:
         q4 = _place4(cq, [len(x) for x in qparts], par[:nj, 2], B, L, 14)
         t4 = _place4(ct, [len(x) for x in tparts],
                      par[:nj, 2] - par[:nj, 3], B, L, 15)
+        # ONE fused upload: query nibbles | target nibbles | params as
+        # little-endian bytes (each separate host->device transfer pays
+        # a tunnel RTT)
+        buf = np.concatenate(
+            [q4, t4, par.astype("<i4").view(np.uint8).reshape(B, 64)],
+            axis=1)
         run_fn = _run_seg if self.mesh is None else partial(
             _run_seg_sharded, mesh=self.mesh)
-        runs_full, runs_c, term = run_fn(
-            jnp.asarray(q4), jnp.asarray(t4),
-            jnp.asarray(par.reshape(G, PB, 16)),
+        runs_full, out16 = run_fn(
+            jnp.asarray(buf),
             penalties=self.p, PB=PB, K=K, smax=self.smax, maxr=self.maxr,
             interpret=self.interpret)
-        return dict(idxs=idxs, runs_full=runs_full, runs_c=runs_c,
-                    term=term, cert_b=cert_b, cert_always=cert_always)
+        return dict(idxs=idxs, runs_full=runs_full, out16=out16,
+                    cert_b=cert_b, cert_always=cert_always)
 
     def _collect_chunk(self, disp, results, st, certify, unc):
         from ..utils import perf
@@ -848,8 +889,9 @@ class SegmentSolver:
         B = G * PB
         maxr = self.maxr
         cap = min(maxr, RUNS_CAP)
-        term = np.asarray(disp["term"]).reshape(B, 16)
-        runs_c = np.asarray(disp["runs_c"]).reshape(B, cap)
+        out16 = np.asarray(disp["out16"]).reshape(B, 16 + cap)
+        term = out16[:, :16]
+        runs_c = out16[:, 16:]
         cert_b, cert_always = disp["cert_b"], disp["cert_always"]
         # measured swept cells: per group, levels x PB x K x 5 states
         # (term col 8 is written by the kernel's forward loop exit)
@@ -864,28 +906,46 @@ class SegmentSolver:
         if (used[:len(idxs)] > cap).any():
             # rare overflow (deep-divergence CIGARs): one full readback
             runs_np = np.asarray(disp["runs_full"]).reshape(B, maxr)
-        # vectorized decode: two whole-array ops + one tolist() each
-        # beat per-row numpy slicing by ~3x at 4096 rows
-        all_n = (runs_c & np.int16(0x1FFF)).tolist()
-        all_o = (runs_c >> 13).tolist()
+        # flat-prefix decode: gather ONLY the used entries of the rows in
+        # this chunk into one flat array, tolist() once, and build each
+        # row's ops with a C-speed zip over slices. The former whole-array
+        # tolist() converted all B*cap entries (~0.5M ints/chunk) and the
+        # per-row comprehension re-indexed Python lists — together ~60%
+        # of the collect wall on the single-core VM.
+        nj_rows = len(idxs)
+        used_c = np.minimum(used[:nj_rows], cap)
+        tot = int(used_c.sum())
+        row_off = np.zeros(nj_rows + 1, np.int64)
+        np.cumsum(used_c, out=row_off[1:])
+        rr = np.repeat(np.arange(nj_rows), used_c)
+        cc = np.arange(tot, dtype=np.int64) - np.repeat(row_off[:-1], used_c)
+        vals = runs_c[rr, cc].astype(np.int32)
+        n_flat = (vals & 0x1FFF).tolist()
+        o_flat = [OP_CHARS[o] for o in (vals >> 13).tolist()]
+        off_l = row_off.tolist()
+        t0_l = term[:nj_rows, 0].tolist()
+        t1_l = term[:nj_rows, 1].tolist()
+        t3_l = term[:nj_rows, 3].tolist()
+        t5_l = term[:nj_rows, 5].tolist()
+        used_l = used[:nj_rows].tolist()
         opc = OP_CHARS
         for j, i in enumerate(idxs):
-            if not term[j, 0]:
+            if not t0_l[j]:
                 st[i] = "scorecap"
                 continue
-            if not term[j, 5]:
+            if not t5_l[j]:
                 st[i] = "badbt"
                 continue
-            score = int(term[j, 1])
-            u = used[j]
+            score = t1_l[j]
+            u = used_l[j]
             if u > cap:
-                vals = runs_np[j, cur[j] + 1:maxr].astype(np.int32)
-                ops = list(zip((vals & 0x1FFF).tolist(),
-                               (opc[o] for o in (vals >> 13).tolist())))
+                valsf = runs_np[j, cur[j] + 1:maxr].astype(np.int32)
+                ops = list(zip((valsf & 0x1FFF).tolist(),
+                               (opc[o] for o in (valsf >> 13).tolist())))
             else:
-                nj, oj = all_n[j], all_o[j]
-                ops = [(nj[r], opc[oj[r]]) for r in range(u)]
-            if certify and (term[j, 3] or cert_always[j]):
+                a, b = off_l[j], off_l[j + 1]
+                ops = list(zip(n_flat[a:b], o_flat[a:b]))
+            if certify and (t3_l[j] or cert_always[j]):
                 # the certificate bound (see _envelope): a banded score
                 # strictly below it proves no out-of-band path can win.
                 # Checked on band-edge contact, or unconditionally when
