@@ -927,11 +927,12 @@ def segsolve_phase_times():
     lib = get_segsolve_lib()
     if lib is None or not hasattr(lib, "segsolve_phase_times"):
         return {}
-    buf = np.zeros(16, np.float64)
+    buf = np.zeros(17, np.float64)
     lib.segsolve_phase_times(_ptr(buf))
     keys = ("exact_s", "probe_fail_s", "plan_s", "place_s", "piece_s",
             "n_exact", "n_seg", "n_pieces", "n_diag_fast", "n_capped",
-            "piece_bp", "sum_score2", "call_s", "codes_s", "join_s", "lis_sort_s")
+            "piece_bp", "sum_score2", "call_s", "codes_s", "join_s",
+            "lis_sort_s", "n_block_memo")
     return dict(zip(keys, buf.tolist()))
 
 

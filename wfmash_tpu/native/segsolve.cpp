@@ -39,8 +39,8 @@ namespace segsolve {
 // segsolve_phase_times). Indices: 0 exact_s (probe passed = the solve),
 // 1 probe_fail_s (capped probe that hit the cap), 2 plan_s,
 // 3 place_s, 4 piece_s (incl. refine recursion), 5 n_exact,
-// 6 n_seg, 7 n_pieces.
-thread_local double g_phase[16] = {0};
+// 6 n_seg, 7 n_pieces. Slot 16: whole-block memo hits.
+thread_local double g_phase[18] = {0};
 
 static inline double now_s() {
     struct timespec ts;
@@ -132,6 +132,25 @@ struct PieceMemo {
     }
 };
 static thread_local PieceMemo g_piece_memo;
+
+// Whole-block content memo for host_align_blocks. All-vs-all record
+// sets emit many records whose PADDED (query, target) extents coincide
+// exactly (measured on LPA: 1064 of 2259 blocks are byte-duplicates),
+// and the per-block result (status + runs) is deterministic in the
+// bytes for fixed penalties/caps — so replaying is bit-identical by
+// construction. Same design as PieceMemo: full-content key (no
+// collision risk), per-call lifetime, insertion ceiling.
+struct BlockMemo {
+    std::unordered_map<std::string,
+                       std::pair<int64_t, std::vector<int64_t>>> map;
+    size_t bytes = 0;
+    static constexpr size_t MAX_BYTES = 256u << 20;
+    void clear() {
+        map.clear();
+        bytes = 0;
+    }
+};
+static thread_local BlockMemo g_block_memo;
 
 // Core of segmented_host_align for one block. depth 0 applies the
 // refine cap and recurses once (seg_target 128) on capped pieces;
@@ -391,6 +410,8 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
     // piece memo lives for the whole batch: overlapping records in an
     // all-vs-all set re-plan identical pieces across blocks
     segsolve::g_piece_memo.clear();
+    segsolve::g_block_memo.clear();
+    std::string bkey;
     int64_t n_out = 0;
     for (int64_t i = 0; i < n_blocks; i++) {
         const uint8_t* q = qbuf + qoff[i];
@@ -398,6 +419,42 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
         const int64_t m = qoff[i + 1] - qoff[i];
         const int64_t n = toff[i + 1] - toff[i];
         out_counts[i] = 0;
+        // whole-block content memo (see BlockMemo): a byte-identical
+        // (q, t) pair replays its (status, runs) — plan, probe, piece
+        // solves and the exact sweep all skip
+        bkey.resize((size_t)(16 + m + n));
+        {
+            char* kd = &bkey[0];
+            memcpy(kd, &m, 8);
+            memcpy(kd + 8, &n, 8);
+            memcpy(kd + 16, q, (size_t)m);
+            memcpy(kd + 16 + m, t, (size_t)n);
+        }
+        {
+            auto bit = segsolve::g_block_memo.map.find(bkey);
+            if (bit != segsolve::g_block_memo.map.end()) {
+                const auto& pr = bit->second;
+                if (n_out + (int64_t)pr.second.size() > cap) return -2;
+                std::copy(pr.second.begin(), pr.second.end(),
+                          out + n_out);
+                out_counts[i] = (int64_t)pr.second.size();
+                out_status[i] = pr.first;
+                n_out += out_counts[i];
+                segsolve::g_phase[16] += 1;
+                continue;
+            }
+        }
+        const int64_t n_out0 = n_out;
+        auto bmemo_put = [&](int64_t st) {
+            if (segsolve::g_block_memo.bytes >=
+                segsolve::BlockMemo::MAX_BYTES)
+                return;
+            std::vector<int64_t> runs(out + n_out0, out + n_out);
+            segsolve::g_block_memo.bytes +=
+                bkey.size() + runs.size() * 8 + 96;
+            segsolve::g_block_memo.map.emplace(
+                bkey, std::make_pair(st, std::move(runs)));
+        };
         // whole-block exact diagonal fast path (same argument as the
         // piece-level one: mismatch cost strictly below any gap-pair
         // cost => the diagonal is the unique optimum; scan aborts at
@@ -419,6 +476,7 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
                 out_status[i] = 0;
                 n_out += out_counts[i];
                 segsolve::g_phase[5] += 1;
+                bmemo_put(0);
                 continue;
             }
         }
@@ -463,10 +521,11 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
                     out_counts[i] = got;
                     out_status[i] = 0;
                     n_out += got;
+                    bmemo_put(0);
                     continue;
                 }
                 if (got == -2) return -2;
-                if (got == -4) { out_status[i] = 4; continue; }
+                if (got == -4) { out_status[i] = 4; bmemo_put(4); continue; }
                 // -5 (bound violated — cannot happen with a valid U)
                 // or -3: fall through to the unpruned exact solve
             }
@@ -490,13 +549,14 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
             out_counts[i] = got;
             out_status[i] = 0;
             n_out += got;
+            bmemo_put(0);
             continue;
         }
         segsolve::g_phase[1] += segsolve::now_s() - tp0;
         segsolve::g_phase[6] += 1;
         if (got == -2) return -2;
-        if (got == -4) { out_status[i] = 4; continue; }
-        if (got == -3) { out_status[i] = 3; continue; }
+        if (got == -4) { out_status[i] = 4; bmemo_put(4); continue; }
+        if (got == -3) { out_status[i] = 3; bmemo_put(3); continue; }
         // got == -1: probe cap exceeded -> segmented reroute
         segsolve::RunEmit em;
         int64_t r = segsolve::solve_block(q, m, t, n, x, o1, e1, o2,
@@ -508,14 +568,18 @@ int64_t host_align_blocks(const uint8_t* qbuf, const int64_t* qoff,
             out_counts[i] = (int64_t)em.runs.size();
             out_status[i] = 1;
             n_out += out_counts[i];
+            bmemo_put(1);
         } else if (r == 0) {
             out_status[i] = 2;
+            bmemo_put(2);
         } else if (r == -4) {
             out_status[i] = 4;
+            bmemo_put(4);
         } else if (r == -2) {
             return -2;
         } else {
             out_status[i] = 3;
+            bmemo_put(3);
         }
     }
     segsolve::g_phase[12] += segsolve::now_s() - tcall0;  // total call
@@ -534,6 +598,8 @@ void segsolve_phase_times(double* out8) {
         out8[13 + i] = g_anchor_prof[i];
         g_anchor_prof[i] = 0;
     }
+    out8[16] = segsolve::g_phase[16];
+    segsolve::g_phase[16] = 0;
 }
 
 }  // extern "C"
